@@ -1,0 +1,71 @@
+"""Benchmark harness: env-steps/sec/chip on the flagship CaT training loop.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+North-star metric (BASELINE.json): env steps/sec/chip at 4096 envs. The
+reference publishes no throughput numbers (BASELINE.md), so vs_baseline is
+reported against REF_GPU_STEPS_PER_SEC, a representative Isaac Lab Solo12
+4096-env single-GPU figure used as the working anchor until a measured
+baseline exists.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Real chip: let the preset platform (TPU) stand; only force CPU if nothing set.
+os.environ.setdefault("JAX_PLATFORMS", "")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+# Working anchor: Isaac Lab-class GPU rigs typically run ~50-100k env-steps/s
+# at 4096 envs for quadruped locomotion; use the midpoint until measured.
+REF_GPU_STEPS_PER_SEC = 75_000.0
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+    iters_warm = 2
+    iters_meas = int(os.environ.get("BENCH_ITERS", 5))
+
+    from cat_tpu.rl.ppo import PPO, PpoCfg
+    from cat_tpu.tasks.solo12_flat import make_env
+
+    env = make_env(num_envs=num_envs)
+    cfg = PpoCfg()
+    ppo = PPO(env, cfg)
+
+    es = env.init(jax.random.PRNGKey(0), num_envs)
+    first_obs = jax.jit(env.observe)(es)
+    ts = ppo.init(jax.random.PRNGKey(1), es, first_obs)
+
+    train_fn = jax.jit(ppo.train_iteration, donate_argnums=(0, 1))
+
+    for _ in range(iters_warm):
+        ts, es, metrics = train_fn(ts, es)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(iters_meas):
+        ts, es, metrics = train_fn(ts, es)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    env_steps = iters_meas * cfg.num_steps * num_envs
+    sps = env_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec_per_chip_4096envs_full_ppo",
+                "value": round(sps, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(sps / REF_GPU_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

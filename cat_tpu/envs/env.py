@@ -1,0 +1,555 @@
+"""CatEnv: the fully-jitted constrained locomotion environment.
+
+TPU-native replacement for the reference's CaTEnv.step pipeline
+(cat_env.py:42-147) and the Isaac Lab manager stack it orchestrates. One
+``step(state, action)`` call performs, in the reference's exact order:
+
+  1. action processing (store raw action / prev action)
+  2. decimation x physics substeps (PD target = default + scale*action)
+  3. episode/common counters
+  4. terminations: time_out | illegal_contact | upside_down
+  5. CaT constraints -> cstr_prob; reward = clip(r * (1 - p), min=0);
+     dones = cstr_prob with hard-reset envs forced to 1.0
+  6. masked auto-reset (reset events, episode-stat accumulation)
+  7. command schedule + deadzone/resample/yaw-flip logic
+  8. interval push events
+  9. observation build (optionally noise-corrupted)
+
+Everything is one pure function of (EnvState, action): no host sync, no
+dynamic shapes; resets are lax-select masks (SURVEY.md §7.3 hard part #3).
+Randomness is per-env PRNG keys so the env axis can shard across chips
+without correlated draws.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cat_tpu.sim import engine as engine_mod
+from cat_tpu.sim.engine import EngineParams, SimState
+from cat_tpu.sim.maths import quat_from_euler_zyx, quat_rotate_inv
+from cat_tpu.sim.model import RobotModel
+
+from .cat import ConstraintSet, ConstraintTerm, curriculum_max_p
+from .types import EnvState, StepData
+
+
+# --------------------------------------------------------------------------
+# Config dataclasses (frozen; the reference's configclass tree, SURVEY.md §5.6)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CommandsCfg:
+    """UniformVelocityCommandWithDeadzone (reference mdp/commands.py:19-100,
+    cat_flat_env_cfg.py:96-107)."""
+    lin_vel_x: Tuple[float, float] = (-0.3, 1.0)
+    lin_vel_y: Tuple[float, float] = (-0.7, 0.7)
+    ang_vel_z: Tuple[float, float] = (-0.78, 0.78)
+    resampling_time: float = 10.0
+    rel_standing_envs: float = 0.02
+    velocity_deadzone: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class EventsCfg:
+    """Domain randomization (cat_flat_env_cfg.py:182-239, mdp/events.py)."""
+    friction_range: Tuple[float, float] = (0.5, 1.25)   # startup, per env
+    reset_pose_xy: float = 0.05
+    reset_yaw: float = 1.57
+    reset_joint_scale: Tuple[float, float] = (0.95, 1.05)
+    push_vel_xy: float = 0.5
+    push_enabled: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseCfg:
+    """AdditiveUniformNoise per obs term (cat_flat_env_cfg.py:140-176)."""
+    enabled: bool = True
+    ang_vel: float = 0.001
+    gravity: float = 0.05
+    joint_pos: float = 0.01
+    joint_vel: float = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class RewardsCfg:
+    """Two tracking terms only (cat_flat_env_cfg.py:242-256)."""
+    lin_weight: float = 1.0
+    ang_weight: float = 0.5
+    std2: float = 0.25     # sigma^2 in exp(-err/sigma^2)
+
+
+@dataclasses.dataclass(frozen=True)
+class TerminationsCfg:
+    """(cat_flat_env_cfg.py:358-377)"""
+    upside_down_limit: float = 0.1
+    contact_threshold: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvCfg:
+    num_envs: int = 4096
+    episode_length_s: float = 10.0
+    sim_dt: float = 0.005
+    decimation: int = 4
+    action_scale: float = 0.5          # JointPositionAction scale (cfg:130)
+    curriculum_steps: int = 24 * 1000  # modify_constraint_p num_steps
+    commands: CommandsCfg = CommandsCfg()
+    events: EventsCfg = EventsCfg()
+    noise: NoiseCfg = NoiseCfg()
+    rewards: RewardsCfg = RewardsCfg()
+    terminations: TerminationsCfg = TerminationsCfg()
+    kp: float = 4.0
+    kd: float = 0.2
+
+    @property
+    def step_dt(self) -> float:
+        return self.sim_dt * self.decimation
+
+    @property
+    def max_episode_length(self) -> int:
+        return int(round(self.episode_length_s / self.step_dt))
+
+
+# --------------------------------------------------------------------------
+# Name resolution (SceneEntityCfg regex equivalents)
+# --------------------------------------------------------------------------
+
+def resolve_names(patterns: Sequence[str], names: Sequence[str],
+                  preserve_order: bool = False) -> np.ndarray:
+    """Resolve regex patterns to indices.
+
+    preserve_order=True: indices follow the PATTERN list order (the
+    reference's preserve_order joint indexing, cat_flat_env_cfg.py:159);
+    otherwise they follow the name-list order.
+    """
+    out = []
+    if preserve_order:
+        for p in patterns:
+            rx = re.compile(p + "$")
+            matched = [i for i, n in enumerate(names) if rx.match(n)]
+            out.extend(matched)
+    else:
+        for i, n in enumerate(names):
+            if any(re.compile(p + "$").match(n) for p in patterns):
+                out.append(i)
+    assert out, f"no match for {patterns} in {names}"
+    return np.array(out, dtype=np.int32)
+
+
+# --------------------------------------------------------------------------
+# The environment
+# --------------------------------------------------------------------------
+
+class CatEnv:
+    """Builds the jitted step/reset for a robot model + config + constraints."""
+
+    def __init__(
+        self,
+        model: RobotModel,
+        cfg: EnvCfg,
+        constraint_terms: Sequence[ConstraintTerm],
+        actuated_joint_order: Sequence[str],
+        illegal_contact_bodies: Sequence[str] = ("base_link", ".*_UPPER_LEG"),
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.num_actions = model.nj
+        # task-order joint view: t2m[j] = model joint index of task joint j
+        self.t2m = resolve_names(
+            list(actuated_joint_order), model.joint_names, preserve_order=True
+        )
+        self.default_joint_pos_task = jnp.asarray(
+            model.default_qpos_joints[self.t2m], dtype=jnp.float32
+        )
+        self.illegal_ids = resolve_names(
+            list(illegal_contact_bodies), model.report_names
+        )
+        self.foot_slots = np.arange(len(model.foot_report_ids), dtype=np.int32)
+
+        params = EngineParams(
+            dt=cfg.sim_dt, decimation=cfg.decimation, kp=cfg.kp, kd=cfg.kd,
+        )
+        self._engine_step = engine_mod.make_batched_step(model, params)
+
+        probe = self._probe_data(2)  # column-count probe for the term layout
+        self.cset = ConstraintSet(constraint_terms, probe)
+        self.num_obs = 9 + 3 * self.num_actions  # 45 for Solo12
+
+    # ---------------- helpers ----------------
+
+    def _probe_data(self, n: int) -> StepData:
+        nj, nr = self.model.nj, self.model.nreport
+        nf = len(self.model.foot_report_ids)
+        z = jnp.zeros
+        return StepData(
+            joint_pos=z((n, nj)), joint_vel=z((n, nj)), joint_acc=z((n, nj)),
+            applied_torque=z((n, nj)),
+            default_joint_pos=self.default_joint_pos_task,
+            base_pos=z((n, 3)), base_lin_vel_b=z((n, 3)),
+            base_ang_vel_b=z((n, 3)), projected_gravity=z((n, 3)),
+            command=z((n, 3)), action=z((n, nj)), prev_action=z((n, nj)),
+            force_hist=z((n, 3, nr, 3)), touchdown=z((n, nf), dtype=bool),
+            last_air_time=z((n, nf)), step_dt=self.cfg.step_dt,
+        )
+
+    def _step_data(self, sim: SimState, command, action, prev_action) -> StepData:
+        quat = sim.qpos[:, 3:7]
+        g_dir = jnp.array([0.0, 0.0, -1.0])
+        proj_g = quat_rotate_inv(quat, jnp.broadcast_to(g_dir, quat[:, :3].shape))
+        lin_b = quat_rotate_inv(quat, sim.qvel[:, 0:3])
+        t2m = self.t2m
+        return StepData(
+            joint_pos=sim.qpos[:, 7:][:, t2m],
+            joint_vel=sim.qvel[:, 6:][:, t2m],
+            joint_acc=sim.joint_acc[:, t2m],
+            applied_torque=sim.applied_torque[:, t2m],
+            default_joint_pos=self.default_joint_pos_task,
+            base_pos=sim.qpos[:, 0:3],
+            base_lin_vel_b=lin_b,
+            base_ang_vel_b=sim.qvel[:, 3:6],   # already body frame
+            projected_gravity=proj_g,
+            command=command,
+            action=action,
+            prev_action=prev_action,
+            force_hist=sim.force_hist,
+            touchdown=sim.touchdown,
+            last_air_time=sim.last_air_time,
+            step_dt=self.cfg.step_dt,
+        )
+
+    # ---------------- init / reset ----------------
+
+    def init(self, key: jnp.ndarray, num_envs: Optional[int] = None) -> EnvState:
+        n = num_envs or self.cfg.num_envs
+        nj = self.model.nj
+        keys = jax.random.split(key, n + 2)
+        env_keys, k_mu, k_cmd = keys[:n], keys[n], keys[n + 1]
+        sim = engine_mod.make_batched_init(self.model, n)
+        # startup friction randomization (physics_material event,
+        # cat_flat_env_cfg.py:186-196; terrain friction 1.0, multiply-combine)
+        mu = jax.random.uniform(
+            k_mu, (n,), minval=self.cfg.events.friction_range[0],
+            maxval=self.cfg.events.friction_range[1],
+        )
+        cmd = self._sample_commands(jax.random.split(k_cmd, n))
+        nt, kt = self.cset.n_terms, self.cset.total_cols
+        state = EnvState(
+            sim=sim,
+            action=jnp.zeros((n, nj)), prev_action=jnp.zeros((n, nj)),
+            episode_len=jnp.zeros(n, dtype=jnp.int32),
+            command=cmd,
+            command_time_left=jnp.full(n, self.cfg.commands.resampling_time),
+            mu=mu,
+            running_max=self.cset.init_running_max(),
+            max_p=self.cset.init_max_p(),
+            episode_viol=jnp.zeros((n, nt)), episode_prob=jnp.zeros((n, nt)),
+            episode_rew=jnp.zeros(n),
+            common_step=jnp.zeros((), dtype=jnp.int32),
+            key=env_keys,
+            acc_viol=jnp.zeros(nt), acc_prob=jnp.zeros(nt),
+            acc_rew=jnp.zeros(()), acc_len=jnp.zeros(()),
+            acc_count=jnp.zeros(()),
+        )
+        # randomize initial pose like a reset (all envs)
+        sub = jax.vmap(lambda k: jax.random.fold_in(k, 123))(env_keys)
+        reset_sim = self._reset_sim(sub)
+        state = state._replace(sim=reset_sim)
+        return state
+
+    def _sample_commands(self, keys: jnp.ndarray) -> jnp.ndarray:
+        """Uniform command sample + standing-env zeroing (Isaac Lab
+        UniformVelocityCommand._resample_command + rel_standing_envs)."""
+        c = self.cfg.commands
+
+        def one(k):
+            k1, k2, k3, k4 = jax.random.split(k, 4)
+            cmd = jnp.array([
+                jax.random.uniform(k1, minval=c.lin_vel_x[0], maxval=c.lin_vel_x[1]),
+                jax.random.uniform(k2, minval=c.lin_vel_y[0], maxval=c.lin_vel_y[1]),
+                jax.random.uniform(k3, minval=c.ang_vel_z[0], maxval=c.ang_vel_z[1]),
+            ])
+            standing = jax.random.uniform(k4) < c.rel_standing_envs
+            return jnp.where(standing, 0.0, cmd)
+
+        return jax.vmap(one)(keys)
+
+    def _reset_sim(self, keys: jnp.ndarray) -> SimState:
+        """Fresh randomized sim states for ALL envs (masked-selected later).
+
+        Events: reset_root_state_uniform (pose x/y +-0.05, yaw +-1.57) and
+        reset_joints_by_scale (q = default * U(0.95, 1.05), qd = 0)
+        (cat_flat_env_cfg.py:198-225).
+        """
+        model, ev = self.model, self.cfg.events
+        n = keys.shape[0]
+
+        def one(k):
+            k1, k2, k3, k4 = jax.random.split(k, 4)
+            xy = jax.random.uniform(k1, (2,), minval=-ev.reset_pose_xy,
+                                    maxval=ev.reset_pose_xy)
+            yaw = jax.random.uniform(k2, minval=-ev.reset_yaw, maxval=ev.reset_yaw)
+            quat = quat_from_euler_zyx(jnp.zeros(()), jnp.zeros(()), yaw)
+            scale = jax.random.uniform(
+                k3, (model.nj,), minval=ev.reset_joint_scale[0],
+                maxval=ev.reset_joint_scale[1],
+            )
+            qj = jnp.asarray(model.default_qpos_joints) * scale
+            qj = jnp.clip(qj, jnp.asarray(model.joint_limit_lower),
+                          jnp.asarray(model.joint_limit_upper))
+            qpos = jnp.concatenate([
+                jnp.array([xy[0], xy[1], model.default_base_pos[2]]), quat, qj,
+            ]).astype(jnp.float32)
+            s = engine_mod.init_state(model, qpos=qpos)
+            del k4
+            return s
+
+        return jax.vmap(one)(keys)
+
+    def observe(self, state: EnvState) -> jnp.ndarray:
+        """Observation of the current state (the reset obs, cleanrl/ppo.py:186)."""
+        data = self._step_data(
+            state.sim, state.command, state.action, state.prev_action
+        )
+        k = jax.vmap(lambda kk: jax.random.fold_in(kk, 777))(state.key)
+        return self._observations(data, k)
+
+    # ---------------- the step ----------------
+
+    def step(
+        self, state: EnvState, raw_action: jnp.ndarray,
+        axis_name: Optional[str] = None,
+    ):
+        """Returns (state', obs, reward, dones(float), time_outs(bool))."""
+        cfg = self.cfg
+        n = raw_action.shape[0]
+        nj = self.model.nj
+
+        # per-env per-step key derivation
+        split2 = jax.vmap(lambda k: jax.random.split(k, 2))(state.key)
+        next_keys, step_keys = split2[:, 0], split2[:, 1]
+
+        def sub(i):
+            return jax.vmap(lambda k: jax.random.fold_in(k, i))(step_keys)
+
+        # 1. action processing (action_manager.process_action, cat_env.py:62)
+        prev_action = state.action
+        action = raw_action
+        target_task = self.default_joint_pos_task + cfg.action_scale * action
+        # scatter task-order targets into model joint order
+        target_model = jnp.zeros((n, nj)).at[:, self.t2m].set(target_task)
+
+        # 2. physics (cat_env.py:71-88)
+        sim = self._engine_step(state.sim, target_model, state.mu)
+
+        # 3. counters
+        episode_len = state.episode_len + 1
+        common_step = state.common_step + 1
+
+        data = self._step_data(sim, state.command, action, prev_action)
+
+        # 4. terminations (cat_flat_env_cfg.py:358-377)
+        time_out = episode_len >= cfg.max_episode_length
+        hist_n = jnp.linalg.norm(
+            sim.force_hist[:, :, self.illegal_ids, :], axis=-1
+        )
+        illegal = jnp.any(
+            jnp.max(hist_n, axis=1) > cfg.terminations.contact_threshold, axis=1
+        )
+        upside = (
+            jnp.linalg.norm(data.projected_gravity[:, :2], axis=1)
+            > cfg.terminations.upside_down_limit
+        )
+        terminated = illegal | upside
+        reset_buf = terminated | time_out
+
+        # 5. CaT constraints + reward (cat_env.py:98-110)
+        max_p = curriculum_max_p(
+            self.cset.terms, common_step, cfg.curriculum_steps
+        )
+        cstr_prob, running_max, term_probs, viol = self.cset.compute(
+            data, state.running_max, max_p, axis_name=axis_name,
+            first_step=common_step <= 1,
+        )
+        rw = cfg.rewards
+        lin_err = jnp.sum(
+            jnp.square(data.command[:, :2] - data.base_lin_vel_b[:, :2]), axis=1
+        )
+        ang_err = jnp.square(data.command[:, 2] - data.base_ang_vel_b[:, 2])
+        base_reward = (
+            rw.lin_weight * jnp.exp(-lin_err / rw.std2)
+            + rw.ang_weight * jnp.exp(-ang_err / rw.std2)
+        ) * cfg.step_dt
+        reward = jnp.clip(base_reward * (1.0 - cstr_prob), 0.0, None)
+        dones = jnp.where(reset_buf, 1.0, cstr_prob)
+
+        # episode stats (constraint_manager.py:223-227)
+        episode_viol = state.episode_viol + viol.astype(jnp.float32)
+        episode_prob = state.episode_prob + term_probs
+        episode_rew = state.episode_rew + reward
+
+        # 6. masked auto-reset (cat_env.py:118-135, _reset_idx:149-200)
+        rmask = reset_buf
+        rf = rmask.astype(jnp.float32)
+        ep_len_f = jnp.maximum(episode_len.astype(jnp.float32), 1.0)
+        acc_viol = state.acc_viol + jnp.sum(
+            rf[:, None] * episode_viol / ep_len_f[:, None] * 100.0, axis=0
+        )
+        acc_prob = state.acc_prob + jnp.sum(
+            rf[:, None] * episode_prob / ep_len_f[:, None], axis=0
+        )
+        acc_rew = state.acc_rew + jnp.sum(rf * episode_rew)
+        acc_len = state.acc_len + jnp.sum(rf * episode_len)
+        acc_count = state.acc_count + jnp.sum(rf)
+
+        fresh_sim = self._reset_sim(sub(0))
+        sim = jax.tree.map(
+            lambda new, old: jnp.where(
+                rmask.reshape((n,) + (1,) * (old.ndim - 1)), new, old
+            ),
+            fresh_sim, sim,
+        )
+        episode_len = jnp.where(rmask, 0, episode_len)
+        episode_viol = jnp.where(rmask[:, None], 0.0, episode_viol)
+        episode_prob = jnp.where(rmask[:, None], 0.0, episode_prob)
+        episode_rew = jnp.where(rmask, 0.0, episode_rew)
+        action = jnp.where(rmask[:, None], 0.0, action)
+        prev_action = jnp.where(rmask[:, None], 0.0, prev_action)
+        # command manager reset -> resample (Isaac Lab CommandTerm.reset)
+        reset_cmd = self._sample_commands(sub(1))
+        command = jnp.where(rmask[:, None], reset_cmd, state.command)
+        time_left = jnp.where(
+            rmask, cfg.commands.resampling_time, state.command_time_left
+        )
+
+        # 7. command schedule + deadzone logic (commands.py:39-92)
+        command, time_left = self._update_commands(
+            command, time_left, sub(2), sub(3), sub(4)
+        )
+
+        # 8. interval push event (events.py:59-96, cat_flat_env_cfg.py:231-239)
+        if cfg.events.push_enabled:
+            p_push = cfg.sim_dt / (cfg.episode_length_s * 2.0)
+            push = jax.random.uniform(sub(5)[0], (n,)) < p_push
+            push_vel = jax.random.uniform(
+                sub(6)[0], (n, 2), minval=-cfg.events.push_vel_xy,
+                maxval=cfg.events.push_vel_xy,
+            )
+            # overwrite the FULL root velocity (z & angular zeroed) as the
+            # reference does (events.py:91-96)
+            new_qvel = sim.qvel.at[:, 0:2].set(push_vel).at[:, 2:6].set(0.0)
+            qvel = jnp.where(push[:, None], new_qvel, sim.qvel)
+            sim = sim._replace(qvel=qvel)
+
+        # 9. observations (cat_flat_env_cfg.py:140-176; order + scales + noise)
+        data = self._step_data(sim, command, action, prev_action)
+        obs = self._observations(data, sub(7))
+
+        new_state = EnvState(
+            sim=sim, action=action, prev_action=prev_action,
+            episode_len=episode_len, command=command,
+            command_time_left=time_left, mu=state.mu,
+            running_max=running_max, max_p=max_p,
+            episode_viol=episode_viol, episode_prob=episode_prob,
+            episode_rew=episode_rew,
+            common_step=common_step, key=next_keys,
+            acc_viol=acc_viol, acc_prob=acc_prob, acc_rew=acc_rew,
+            acc_len=acc_len, acc_count=acc_count,
+        )
+        return new_state, obs, reward, dones, time_out
+
+    def _update_commands(self, command, time_left, k_sched, k_stoch, k_flip):
+        """Scheduled resample + deadzone zeroing + stochastic resample +
+        yaw-rate sign flip (reference commands.py:39-92). The stochastic
+        probabilities use PHYSICS dt (commands.py:36: self.dt = env.physics_dt).
+        """
+        c, cfg = self.cfg.commands, self.cfg
+        n = command.shape[0]
+        # scheduled resample every resampling_time seconds
+        time_left = time_left - cfg.step_dt
+        expired = time_left <= 0.0
+        cmd_sched = self._sample_commands(k_sched)
+        command = jnp.where(expired[:, None], cmd_sched, command)
+        time_left = jnp.where(expired, c.resampling_time, time_left)
+
+        # deadzone zeroing: zero unless any |component| > deadzone
+        keep = jnp.any(jnp.abs(command) > c.velocity_deadzone, axis=1)
+        command = command * keep[:, None].astype(command.dtype)
+
+        # stochastic resample: p = 0.01 idle / dt_phys/T_ep moving
+        no_cmd = (
+            jnp.linalg.norm(command, axis=1) < c.velocity_deadzone
+        ).astype(command.dtype)
+        p_res = 0.01 * no_cmd + (cfg.sim_dt / cfg.episode_length_s) * (1 - no_cmd)
+        u = jax.vmap(lambda k: jax.random.uniform(k))(k_stoch)
+        resample = u < p_res
+        cmd_stoch = self._sample_commands(
+            jax.vmap(lambda k: jax.random.fold_in(k, 1))(k_stoch)
+        )
+        command = jnp.where(resample[:, None], cmd_stoch, command)
+        time_left = jnp.where(resample, c.resampling_time, time_left)
+
+        # random yaw-rate inversion
+        p_flip = cfg.sim_dt / cfg.episode_length_s
+        flip = jax.random.uniform(k_flip[0], (n,)) < p_flip
+        command = command.at[:, 2].multiply(1.0 - 2.0 * flip.astype(command.dtype))
+        return command, time_left
+
+    def _observations(self, data: StepData, k_noise) -> jnp.ndarray:
+        cfg = self.cfg
+        nz = cfg.noise
+        k = k_noise[0]
+
+        def noise(x, mag, idx):
+            if not nz.enabled or mag == 0.0:
+                return x
+            return x + jax.random.uniform(
+                jax.random.fold_in(k, idx), x.shape, minval=-mag, maxval=mag
+            )
+
+        return jnp.concatenate(
+            [
+                noise(data.base_ang_vel_b, nz.ang_vel, 0) * 0.25,
+                data.command * jnp.array([2.0, 2.0, 0.25]),
+                noise(data.projected_gravity, nz.gravity, 1) * 0.1,
+                noise(data.joint_pos, nz.joint_pos, 2),
+                noise(data.joint_vel, nz.joint_vel, 3) * 0.05,
+                data.action,
+            ],
+            axis=1,
+        )
+
+    # ---------------- metrics ----------------
+
+    def drain_metrics(self, state: EnvState) -> Tuple[EnvState, Dict[str, jnp.ndarray]]:
+        """Finished-episode metrics since last drain, then reset accumulators.
+
+        Metric names match the reference for parity checking (SURVEY.md §5.5:
+        Episode_Constraint_violation/cstr_* etc.).
+        """
+        cnt = jnp.maximum(state.acc_count, 1.0)
+        metrics = {}
+        for i, t in enumerate(self.cset.terms):
+            metrics[f"Episode_Constraint_violation/cstr_{t.name}"] = (
+                state.acc_viol[i] / cnt
+            )
+            metrics[f"Episode_Constraint_probability/cstr_{t.name}"] = (
+                state.acc_prob[i] / cnt
+            )
+            metrics[f"Curriculum/{t.name}_max_p"] = state.max_p[i]
+        metrics["Episode/reward"] = state.acc_rew / cnt
+        metrics["Episode/length"] = state.acc_len / cnt
+        metrics["Episode/count"] = state.acc_count
+        nt = self.cset.n_terms
+        state = state._replace(
+            acc_viol=jnp.zeros(nt), acc_prob=jnp.zeros(nt),
+            acc_rew=jnp.zeros(()), acc_len=jnp.zeros(()),
+            acc_count=jnp.zeros(()),
+        )
+        return state, metrics

@@ -1,0 +1,96 @@
+"""Policy export for deployment (replaces ONNX/TorchScript export,
+reference clean_rl/play.py:118-138).
+
+Artifacts:
+  * ``policy_params.npz`` — pure-numpy parameter bundle (obs normalizer +
+    MLP weights) with a documented layout, loadable anywhere.
+  * ``policy.onnx`` — ONNX graph (obs_rms folded in, deterministic mean
+    action, like the reference's Agent.forward export) via torch, which is
+    baked into the image CPU-only. Skipped gracefully if torch is absent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+
+def _flatten_mlp(params: dict, net: str):
+    """Extract [(W, b), ...] for actor/critic from flax params."""
+    sub = params["params"][net]
+    layers = []
+    i = 0
+    while f"Dense_{i}" in sub:
+        layers.append(
+            (np.asarray(sub[f"Dense_{i}"]["kernel"]),
+             np.asarray(sub[f"Dense_{i}"]["bias"]))
+        )
+        i += 1
+    return layers
+
+
+def export_policy(ppo, ts, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    params = jax.device_get(ts.params)
+    actor = _flatten_mlp(params, "actor")
+    bundle = {
+        "obs_mean": np.asarray(ts.obs_rms.mean),
+        "obs_var": np.asarray(ts.obs_rms.var),
+        "log_std": np.asarray(params["params"]["log_std"]),
+    }
+    for i, (w, b) in enumerate(actor):
+        bundle[f"actor_w{i}"] = w
+        bundle[f"actor_b{i}"] = b
+    np.savez(os.path.join(out_dir, "policy_params.npz"), **bundle)
+    print(f"wrote {out_dir}/policy_params.npz")
+
+    try:
+        _export_onnx(bundle, len(actor), out_dir)
+    except Exception as e:  # torch optional
+        print(f"ONNX export skipped: {e}")
+
+
+def _export_onnx(bundle: dict, n_layers: int, out_dir: str) -> None:
+    import torch
+
+    class Policy(torch.nn.Module):
+        """obs -> normalized -> actor MLP mean (deterministic)."""
+
+        def __init__(self):
+            super().__init__()
+            self.obs_mean = torch.nn.Parameter(
+                torch.tensor(bundle["obs_mean"], dtype=torch.float32),
+                requires_grad=False,
+            )
+            self.obs_var = torch.nn.Parameter(
+                torch.tensor(bundle["obs_var"], dtype=torch.float32),
+                requires_grad=False,
+            )
+            self.layers = torch.nn.ModuleList()
+            for i in range(n_layers):
+                w = bundle[f"actor_w{i}"]
+                lin = torch.nn.Linear(w.shape[0], w.shape[1])
+                lin.weight.data = torch.tensor(w.T, dtype=torch.float32)
+                lin.bias.data = torch.tensor(
+                    bundle[f"actor_b{i}"], dtype=torch.float32
+                )
+                self.layers.append(lin)
+
+        def forward(self, obs):
+            x = (obs - self.obs_mean) / torch.sqrt(self.obs_var + 1e-8)
+            for i, lin in enumerate(self.layers):
+                x = lin(x)
+                if i < len(self.layers) - 1:
+                    x = torch.nn.functional.elu(x)
+            return x
+
+    model = Policy().eval()
+    dummy = torch.zeros(1, bundle["obs_mean"].shape[0])
+    path = os.path.join(out_dir, "policy.onnx")
+    torch.onnx.export(
+        model, dummy, path, input_names=["obs"], output_names=["action"],
+        opset_version=16, dynamo=False,
+    )
+    print(f"wrote {path}")

@@ -1,0 +1,309 @@
+"""From-scratch PPO with CaT float-done GAE, fully jit-compiled.
+
+Parity with the reference CleanRL-style PPO (cleanrl/ppo.py:126-372) and its
+Solo12 hyperparameters (clean_rl_ppo_cfg.py), redesigned TPU-first:
+
+  * one jitted ``train_iteration``: rollout as ``lax.scan`` over the horizon,
+    dual-done GAE as a reversed scan, 5x(batch/minibatch) SGD as nested scans
+    — a single XLA program per iteration, state donated, no host round-trips
+    except the scalar metrics fetched once per iteration.
+  * CaT GAE semantics (cleanrl/ppo.py:250-277): two done signals — float
+    constraint probability ``dones`` and binary truncation ``true_dones`` —
+    both multiply the bootstrap and the trace decay.
+  * obs normalization in the learner, updated during rollout
+    (cleanrl/ppo.py:187,225); value/return normalization updated sequentially
+    exactly like the reference (ppo.py:287-288).
+  * multi-chip: the same function runs under ``shard_map`` over a mesh axis
+    ``env``; gradients/metrics psum, normalizer moments psum, constraint
+    running-max pmax (SURVEY.md §2.4/§2.5). Minibatch permutations are
+    per-chip (each chip permutes its local rows — statistically equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cat_tpu.envs.env import CatEnv
+from cat_tpu.envs.types import EnvState
+
+from . import networks
+from .normalize import RmsState, rms_init, rms_normalize, rms_update
+
+
+@dataclasses.dataclass(frozen=True)
+class PpoCfg:
+    """Hyperparameters (reference clean_rl_ppo_cfg.py:10-34)."""
+    learning_rate: float = 3.0e-4
+    num_steps: int = 24
+    num_iterations: int = 2000
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    updates_epochs: int = 5
+    minibatch_size: int = 16384   # GLOBAL minibatch size
+    clip_coef: float = 0.2
+    ent_coef: float = 0.001
+    vf_coef: float = 2.0
+    max_grad_norm: float = 1.0
+    norm_adv: bool = True
+    clip_vloss: bool = True
+    anneal_lr: bool = True
+    save_interval: int = 50
+    hidden: Tuple[int, ...] = (512, 256, 128)
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    obs_rms: RmsState
+    value_rms: RmsState
+    iteration: jnp.ndarray        # () int32
+    key: jnp.ndarray              # per-shard PRNG key
+    # rollout carry (the "next_*" buffers of cleanrl/ppo.py:186-189)
+    next_obs: jnp.ndarray         # (N, obs) normalized
+    next_done: jnp.ndarray        # (N,) float
+    next_true_done: jnp.ndarray   # (N,) float
+
+
+class PPO:
+    """Builds the jitted train iteration for an env + config."""
+
+    def __init__(self, env: CatEnv, cfg: PpoCfg,
+                 axis_name: Optional[str] = None, num_devices: int = 1):
+        self.env = env
+        self.cfg = cfg
+        self.axis_name = axis_name
+        self.num_devices = num_devices  # static shard count of the env axis
+        self.net = networks.ActorCritic(env.num_actions, cfg.hidden)
+        sched = (
+            optax.linear_schedule(
+                cfg.learning_rate, 0.0, cfg.num_iterations
+            ) if cfg.anneal_lr else cfg.learning_rate
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.scale_by_adam(eps=1e-5),
+            optax.scale_by_learning_rate(sched),
+        )
+
+    # ---------------- init ----------------
+
+    def init(self, key: jnp.ndarray, env_state: EnvState,
+             first_obs_raw: jnp.ndarray) -> TrainState:
+        k_net, k_run = jax.random.split(key)
+        params = self.net.init(
+            k_net, jnp.zeros((1, self.env.num_obs))
+        )
+        obs_rms = rms_init((self.env.num_obs,))
+        # warm-start obs_rms on the reset obs (cleanrl/ppo.py:186-187).
+        # init runs host-side on the GLOBAL batch (outside shard_map), so no
+        # axis collective here.
+        obs_rms = rms_update(obs_rms, first_obs_raw, None)
+        n = first_obs_raw.shape[0]
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            obs_rms=obs_rms,
+            value_rms=rms_init(()),
+            iteration=jnp.zeros((), jnp.int32),
+            key=k_run,
+            next_obs=rms_normalize(obs_rms, first_obs_raw),
+            next_done=jnp.zeros(n),
+            next_true_done=jnp.zeros(n),
+        )
+
+    # ---------------- one training iteration ----------------
+
+    def train_iteration(self, ts: TrainState, es: EnvState):
+        """(TrainState, EnvState) -> (TrainState, EnvState, metrics dict)."""
+        cfg = self.cfg
+        ax = self.axis_name
+
+        # Per-shard key derivation: TrainState.key stays replicated (so the
+        # replicated params/opt update identically), while local draws
+        # (action noise, permutations) decorrelate across shards.
+        base_key, next_ts_key = jax.random.split(ts.key)
+        if ax is not None:
+            base_key = jax.random.fold_in(base_key, jax.lax.axis_index(ax))
+
+        # ---- rollout (HOT LOOP #1, cleanrl/ppo.py:201-230) ----
+        def rollout_step(carry, _):
+            ts_obs, ts_done, ts_tdone, obs_rms, es, key = carry
+            key, k_act = jax.random.split(key)
+            mean, log_std, value = self.net.apply(ts.params, ts_obs)
+            action, logp = networks.sample_action(mean, log_std, k_act)
+            es2, next_obs_raw, reward, done, time_out = self.env.step(
+                es, action, axis_name=ax
+            )
+            obs_rms2 = rms_update(obs_rms, next_obs_raw, ax)
+            next_obs = rms_normalize(obs_rms2, next_obs_raw)
+            out = (ts_obs, action, logp, value, reward, ts_done, ts_tdone)
+            return (
+                (next_obs, done, time_out.astype(jnp.float32), obs_rms2, es2,
+                 key), out
+            )
+
+        key = base_key
+        (next_obs, next_done, next_tdone, obs_rms, es, key), traj = (
+            jax.lax.scan(
+                rollout_step,
+                (ts.next_obs, ts.next_done, ts.next_true_done, ts.obs_rms,
+                 es, key),
+                None, length=cfg.num_steps,
+            )
+        )
+        b_obs, b_actions, b_logprobs, b_values_t, b_rewards, b_dones, b_tdones = traj
+
+        # ---- dual-done GAE (cleanrl/ppo.py:250-277) ----
+        _, _, next_value = self.net.apply(ts.params, next_obs)
+
+        def gae_step(carry, inp):
+            lastgaelam, nextvalue, nextnonterm = carry
+            reward, value, done, tdone = inp
+            delta = reward + cfg.gamma * nextvalue * nextnonterm - value
+            lastgaelam = (
+                delta + cfg.gamma * cfg.gae_lambda * nextnonterm * lastgaelam
+            )
+            return (lastgaelam, value, (1.0 - done) * (1.0 - tdone)), lastgaelam
+
+        # at t: nextnonterminal uses dones[t+1] (or the carry next_done)
+        nn_last = (1.0 - next_done) * (1.0 - next_tdone)
+        (_, _, _), advantages = jax.lax.scan(
+            gae_step,
+            (jnp.zeros_like(next_done), next_value, nn_last),
+            (b_rewards, b_values_t, b_dones, b_tdones),
+            reverse=True,
+        )
+        returns = advantages + b_values_t
+
+        # ---- flatten & value normalization (cleanrl/ppo.py:279-288) ----
+        nb = cfg.num_steps * next_obs.shape[0]
+        b_obs = b_obs.reshape(nb, -1)
+        b_actions = b_actions.reshape(nb, -1)
+        b_logprobs = b_logprobs.reshape(nb)
+        b_adv = advantages.reshape(nb)
+        b_returns = returns.reshape(nb)
+        b_vals = b_values_t.reshape(nb)
+
+        value_rms = rms_update(ts.value_rms, b_vals, ax)
+        b_vals = rms_normalize(value_rms, b_vals)
+        value_rms = rms_update(value_rms, b_returns, ax)
+        b_returns = rms_normalize(value_rms, b_returns)
+
+        # ---- minibatch SGD (HOT LOOP #3, cleanrl/ppo.py:294-354) ----
+        mb_size = cfg.minibatch_size // self.num_devices
+        n_minibatches = nb // mb_size
+
+        def loss_fn(params, mb):
+            obs, act, old_logp, adv, ret, old_val = mb
+            mean, log_std, newvalue = self.net.apply(params, obs)
+            newlogp = networks.gaussian_logp(mean, log_std, act)
+            entropy = networks.gaussian_entropy(log_std, act)
+            logratio = newlogp - old_logp
+            ratio = jnp.exp(logratio)
+
+            if cfg.norm_adv:
+                m = _mean(adv, ax)
+                s = jnp.sqrt(_mean(jnp.square(adv - m), ax))
+                adv = (adv - m) / (s + 1e-8)
+
+            pg1 = -adv * ratio
+            pg2 = -adv * jnp.clip(ratio, 1 - cfg.clip_coef, 1 + cfg.clip_coef)
+            pg_loss = _mean(jnp.maximum(pg1, pg2), ax)
+
+            newvalue_n = rms_normalize(value_rms, newvalue)
+            if cfg.clip_vloss:
+                v_unclipped = jnp.square(newvalue_n - ret)
+                v_clipped_val = old_val + jnp.clip(
+                    newvalue_n - old_val, -cfg.clip_coef, cfg.clip_coef
+                )
+                v_clipped = jnp.square(v_clipped_val - ret)
+                v_loss = 0.5 * _mean(jnp.maximum(v_unclipped, v_clipped), ax)
+            else:
+                v_loss = 0.5 * _mean(jnp.square(newvalue_n - ret), ax)
+
+            ent_loss = _mean(entropy, ax)
+            total = pg_loss - cfg.ent_coef * ent_loss + v_loss * cfg.vf_coef
+            approx_kl = _mean((ratio - 1.0) - logratio, ax)
+            clipfrac = _mean(
+                (jnp.abs(ratio - 1.0) > cfg.clip_coef).astype(jnp.float32), ax
+            )
+            return total, (pg_loss, v_loss, ent_loss, approx_kl, clipfrac)
+
+        def sgd_step(carry, mb_idx):
+            params, opt_state, perm_data = carry
+            mb = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(
+                    x, mb_idx * mb_size, mb_size, axis=0
+                ),
+                perm_data,
+            )
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mb
+            )
+            if ax is not None:
+                grads = jax.lax.pmean(grads, ax)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, perm_data), (loss,) + aux
+
+        def epoch_step(carry, k_epoch):
+            params, opt_state = carry
+            perm = jax.random.permutation(k_epoch, nb)
+            data = (b_obs, b_actions, b_logprobs, b_adv, b_returns, b_vals)
+            perm_data = jax.tree.map(lambda x: x[perm], data)
+            (params, opt_state, _), stats = jax.lax.scan(
+                sgd_step, (params, opt_state, perm_data),
+                jnp.arange(n_minibatches),
+            )
+            return (params, opt_state), stats
+
+        key, k_perm = jax.random.split(key)
+        epoch_keys = jax.random.split(k_perm, cfg.updates_epochs)
+        (params, opt_state), stats = jax.lax.scan(
+            epoch_step, (ts.params, ts.opt_state), epoch_keys
+        )
+        loss, pg_loss, v_loss, ent_loss, approx_kl, clipfrac = (
+            jax.tree.map(jnp.mean, stats)
+        )
+
+        es, ep_metrics = self.env.drain_metrics(es)
+        if ax is not None:
+            ep_metrics = {
+                k: (
+                    jax.lax.psum(v, ax) if k == "Episode/count"
+                    else jax.lax.pmean(v, ax)
+                )
+                for k, v in ep_metrics.items()
+            }
+        metrics = {
+            "Loss/mean_surrogate_loss": loss,
+            "Loss/mean_pg_loss": pg_loss,
+            "Loss/mean_v_loss": v_loss,
+            "Loss/mean_entropy_loss": ent_loss,
+            "Loss/approx_kl": approx_kl,
+            "Loss/clipfrac": clipfrac,
+            "Train/mean_reward_per_step": _mean(b_rewards.reshape(-1), ax),
+            "Train/mean_done": _mean(b_dones.reshape(-1), ax),
+            **ep_metrics,
+        }
+
+        new_ts = TrainState(
+            params=params, opt_state=opt_state,
+            obs_rms=obs_rms, value_rms=value_rms,
+            iteration=ts.iteration + 1, key=next_ts_key,
+            next_obs=next_obs, next_done=next_done,
+            next_true_done=next_tdone,
+        )
+        return new_ts, es, metrics
+
+
+def _mean(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
+    m = jnp.mean(x)
+    if axis_name is not None:
+        m = jax.lax.pmean(m, axis_name)
+    return m

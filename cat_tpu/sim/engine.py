@@ -1,0 +1,192 @@
+"""The batched physics engine: PD actuation + articulated dynamics + contact.
+
+TPU-native replacement for the reference's physics decimation loop
+(cat_env.py:71-88: apply_action -> write_data_to_sim -> sim.step -> scene
+update, x4 at dt=0.005) and for the PhysX articulation + IdealPD actuator +
+contact-sensor stack it drives (SURVEY.md §2.2). One control step =
+`decimation` substeps; each substep is:
+
+  1. IdealPD torque: tau = clip(Kp (q* - q) - Kd qd, +-effort)   [odri.py:78-83]
+  2. Unconstrained velocity: v_free = v + h M^-1 (tau - C)
+  3. Contact detect (fixed candidate set) -> Delassus PGS impulse solve
+  4. Semi-implicit Euler integrate (quaternion exponential map)
+  5. Sensor updates at sim dt: per-body net contact forces with 3-deep
+     history, foot air-time state machine (ContactSensorCfg history_length=3,
+     track_air_time=True, update_period=sim dt — cat_flat_env_cfg.py:74-76,495)
+
+Everything is a pure function of (state, action); the env layer vmaps and
+shards over the env axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import collision, dynamics, solver
+from .dynamics import f32_matmuls
+from .maths import quat_integrate, quat_rotate
+from .model import RobotModel
+
+
+class EngineParams(NamedTuple):
+    dt: float = 0.005            # physics dt      (cat_flat_env_cfg.py:484)
+    decimation: int = 4          # substeps/ctrl   (cat_flat_env_cfg.py:479)
+    kp: float = 4.0              # PD stiffness    (odri.py:81)
+    kd: float = 0.2              # PD damping      (odri.py:82)
+    contact_force_threshold: float = 1.0   # air-time contact threshold (N)
+    solver: solver.SolverParams = solver.SolverParams()
+
+
+class SimState(NamedTuple):
+    """Single-env physics state (the env layer holds a batched version)."""
+    qpos: jnp.ndarray                 # (nq,)
+    qvel: jnp.ndarray                 # (nv,)
+    lam: jnp.ndarray                  # (ncand, 3) contact impulse warm start
+    applied_torque: jnp.ndarray       # (nj,) last substep PD torque
+    joint_acc: jnp.ndarray            # (nj,) last substep joint acceleration
+    forces: jnp.ndarray               # (nreport, 3) latest net contact force
+    force_hist: jnp.ndarray           # (3, nreport, 3) last 3 substeps
+    current_air_time: jnp.ndarray     # (nfeet,)
+    last_air_time: jnp.ndarray        # (nfeet,)
+    current_contact_time: jnp.ndarray # (nfeet,)
+    last_contact_time: jnp.ndarray    # (nfeet,)
+    touchdown: jnp.ndarray            # (nfeet,) bool: first contact this ctrl step
+
+
+def init_state(model: RobotModel, qpos=None, qvel=None) -> SimState:
+    nf = len(model.foot_report_ids)
+    return SimState(
+        qpos=jnp.asarray(qpos if qpos is not None else model.default_qpos(),
+                         dtype=jnp.float32),
+        qvel=jnp.asarray(qvel if qvel is not None else np.zeros(model.nv),
+                         dtype=jnp.float32),
+        lam=jnp.zeros((model.ncand, 3)),
+        applied_torque=jnp.zeros(model.nj),
+        joint_acc=jnp.zeros(model.nj),
+        forces=jnp.zeros((model.nreport, 3)),
+        force_hist=jnp.zeros((3, model.nreport, 3)),
+        current_air_time=jnp.zeros(nf),
+        last_air_time=jnp.zeros(nf),
+        current_contact_time=jnp.zeros(nf),
+        last_contact_time=jnp.zeros(nf),
+        touchdown=jnp.zeros(nf, dtype=bool),
+    )
+
+
+@f32_matmuls
+def _substep(
+    model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
+    s: SimState, target_q: jnp.ndarray, mu: jnp.ndarray,
+) -> SimState:
+    h = params.dt
+    nv = model.nv
+    qj = s.qpos[7:]
+    qdj = s.qvel[6:]
+
+    # 1. IdealPD actuator (armature is in M via the model)
+    tau_j = jnp.clip(
+        params.kp * (target_q - qj) - params.kd * qdj,
+        -jnp.asarray(model.effort_limit), jnp.asarray(model.effort_limit),
+    )
+    tau = jnp.concatenate([jnp.zeros(6), tau_j])
+
+    # 2. dynamics
+    kin = dynamics.fk(model, s.qpos, s.qvel)
+    jacs = dynamics.body_jacobians(model, kin, anc_mask)
+    I_w = dynamics.world_inertias(model, kin)
+    M = dynamics.mass_matrix(model, jacs, I_w)
+    C = dynamics.bias_forces(model, kin, jacs, I_w, s.qvel)
+    chol = jax.scipy.linalg.cho_factor(M)
+    v_free = s.qvel + h * jax.scipy.linalg.cho_solve(chol, tau - C)
+
+    # 3. contact
+    con = collision.detect_plane_contacts(model, kin, anc_mask)
+    E = con.J.reshape(-1, nv)                       # (3nc, nv)
+    minvEt = jax.scipy.linalg.cho_solve(chol, E.T)  # (nv, 3nc)
+    A = E @ minvEt
+    b = E @ v_free
+    lam = solver.pgs_solve(A, b, con.phi, mu, s.lam, h, params.solver)
+    v_new = v_free + minvEt @ lam.reshape(-1)
+
+    # 4. integrate (semi-implicit Euler; quaternion exp map)
+    base_pos = s.qpos[0:3] + h * v_new[0:3]
+    omega_world = quat_rotate(s.qpos[3:7], v_new[3:6])
+    base_quat = quat_integrate(s.qpos[3:7], omega_world, h)
+    qj_new = qj + h * v_new[6:]
+    # joint limit clamp (PhysX enforces URDF limits as hard constraints)
+    lo = jnp.asarray(model.joint_limit_lower)
+    hi = jnp.asarray(model.joint_limit_upper)
+    clamped = jnp.clip(qj_new, lo, hi)
+    hit = clamped != qj_new
+    qdj_new = jnp.where(hit, 0.0, v_new[6:])
+    v_new = v_new.at[6:].set(qdj_new)
+    qpos = jnp.concatenate([base_pos, base_quat, clamped])
+
+    # 5. sensors
+    f_cand = lam / h                                 # world-frame forces (N)
+    forces = jax.ops.segment_sum(
+        f_cand, jnp.asarray(model.cand_report), num_segments=model.nreport
+    )
+    force_hist = jnp.concatenate(
+        [s.force_hist[1:], forces[None]], axis=0
+    )
+    foot_f = jnp.linalg.norm(forces[jnp.asarray(model.foot_report_ids)], axis=-1)
+    in_contact = foot_f > params.contact_force_threshold
+    touchdown_now = in_contact & (s.current_air_time > 0.0)
+    liftoff_now = (~in_contact) & (s.current_contact_time > 0.0)
+    last_air = jnp.where(touchdown_now, s.current_air_time + h, s.last_air_time)
+    cur_air = jnp.where(in_contact, 0.0, s.current_air_time + h)
+    last_con = jnp.where(liftoff_now, s.current_contact_time + h,
+                         s.last_contact_time)
+    cur_con = jnp.where(in_contact, s.current_contact_time + h, 0.0)
+
+    return SimState(
+        qpos=qpos,
+        qvel=v_new,
+        lam=lam,
+        applied_torque=tau_j,
+        joint_acc=(v_new[6:] - s.qvel[6:]) / h,
+        forces=forces,
+        force_hist=force_hist,
+        current_air_time=cur_air,
+        last_air_time=last_air,
+        current_contact_time=cur_con,
+        last_contact_time=last_con,
+        touchdown=s.touchdown | touchdown_now,
+    )
+
+
+def control_step(
+    model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
+    s: SimState, target_q: jnp.ndarray, mu: jnp.ndarray,
+) -> SimState:
+    """One 50 Hz control step = `decimation` physics substeps (single env).
+
+    The decimation loop is a lax.scan so the substep body compiles once
+    (compile-time matters: the substep sits inside the rollout scan of the
+    fully-jitted train iteration).
+    """
+    s = s._replace(touchdown=jnp.zeros_like(s.touchdown))
+
+    def body(carry, _):
+        return _substep(model, params, anc_mask, carry, target_q, mu), None
+
+    s, _ = jax.lax.scan(body, s, None, length=params.decimation)
+    return s
+
+
+def make_batched_step(model: RobotModel, params: EngineParams):
+    """Returns step(batched SimState, targets (N, nj), mu (N,)) -> SimState."""
+    anc_mask = model.ancestor_mask()
+    f = functools.partial(control_step, model, params, anc_mask)
+    return jax.vmap(f)
+
+
+def make_batched_init(model: RobotModel, n: int) -> SimState:
+    s = init_state(model)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + x.shape), s)

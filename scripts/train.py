@@ -1,0 +1,121 @@
+"""Train a CaT policy (replaces reference scripts/clean_rl/train.py).
+
+Usage:
+  python scripts/train.py --task Solo12-CaT-Flat-v0 --num_envs 4096 \
+      --seed 1 --max_iterations 2000 [--logdir logs] [--override k=v ...]
+
+Multi-chip: shards the env batch over all visible devices automatically
+(mesh axis 'env'); set --single_chip to pin to one device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="Solo12-CaT-Flat-v0")
+    p.add_argument("--num_envs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--max_iterations", type=int, default=None)
+    p.add_argument("--logdir", default="logs")
+    p.add_argument("--run_name", default=None)
+    p.add_argument("--single_chip", action="store_true")
+    p.add_argument("--checkpoint", default=None, help="resume path")
+    p.add_argument(
+        "--override", nargs="*", default=[],
+        help="agent cfg overrides key=value (e.g. learning_rate=1e-4)",
+    )
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from cat_tpu.parallel import mesh as pmesh
+    from cat_tpu.rl import checkpoint as ckpt
+    from cat_tpu.tasks import registry
+    from cat_tpu.utils.logging import MetricLogger
+
+    spec = registry.get(args.task)
+    agent_cfg = spec.make_agent_cfg()
+    for ov in args.override:
+        k, v = ov.split("=", 1)
+        field_type = type(getattr(agent_cfg, k))
+        agent_cfg = dataclasses.replace(agent_cfg, **{k: field_type(eval(v))})
+    if args.max_iterations:
+        agent_cfg = dataclasses.replace(
+            agent_cfg, num_iterations=args.max_iterations
+        )
+
+    devices = jax.devices()[:1] if args.single_chip else jax.devices()
+    mesh = pmesh.make_mesh(devices)
+    num_envs = args.num_envs or 4096
+    assert num_envs % mesh.size == 0
+    env = spec.make_env(num_envs=num_envs)
+
+    run_name = args.run_name or time.strftime("%Y-%m-%d_%H-%M-%S")
+    run_path = os.path.join(args.logdir, "cat_tpu", "solo12_flat", run_name)
+    os.makedirs(run_path, exist_ok=True)
+    with open(os.path.join(run_path, "config.json"), "w") as f:
+        json.dump(
+            {"task": args.task, "num_envs": num_envs, "seed": args.seed,
+             "agent_cfg": dataclasses.asdict(agent_cfg),
+             "env_cfg": dataclasses.asdict(env.cfg),
+             "devices": mesh.size},
+            f, indent=1,
+        )
+    logger = MetricLogger(run_path)
+
+    ppo, build = pmesh.make_train_fn(env, agent_cfg, mesh)
+    key = jax.random.PRNGKey(args.seed)
+    k_env, k_ppo = jax.random.split(key)
+    es = env.init(k_env, num_envs)
+    first_obs = jax.jit(env.observe)(es)
+    ts = ppo.init(k_ppo, es, first_obs)
+    if args.checkpoint:
+        ts, es = ckpt.restore(args.checkpoint, ts, es)
+        print(f"resumed from {args.checkpoint} at iter {int(ts.iteration)}")
+    ts = pmesh.shard_states(mesh, ts, num_envs)
+    es = pmesh.shard_states(mesh, es, num_envs)
+    train_fn = build(ts, es)
+
+    print(f"training {args.task}: {num_envs} envs on {mesh.size} chip(s), "
+          f"{agent_cfg.num_iterations} iterations")
+    steps_per_iter = agent_cfg.num_steps * num_envs
+    t_start = time.time()
+    start_iter = int(ts.iteration)
+    for it in range(start_iter + 1, agent_cfg.num_iterations + 1):
+        t0 = time.perf_counter()
+        ts, es, metrics = train_fn(ts, es)
+        metrics = jax.device_get(metrics)
+        dt = time.perf_counter() - t0
+        metrics["Perf/env_steps_per_sec"] = steps_per_iter / dt
+        metrics["Perf/iter_seconds"] = dt
+        logger.log(metrics, it)
+        if it % 10 == 0 or it == 1:
+            print(
+                f"iter {it:5d} | {steps_per_iter / dt:9.0f} steps/s | "
+                f"rew/step {metrics['Train/mean_reward_per_step']:.4f} | "
+                f"ep_len {metrics.get('Episode/length', 0):.0f} | "
+                f"loss {metrics['Loss/mean_surrogate_loss']:.4f}"
+            )
+        if it % agent_cfg.save_interval == 0:
+            path = ckpt.save(os.path.join(run_path, f"ckpt_{it}"), ts, es)
+            print(f"saved {path}")
+    ckpt.save(os.path.join(run_path, "ckpt_final"), ts, es)
+    print(f"done in {time.time() - t_start:.0f}s; logs at {run_path}")
+
+
+if __name__ == "__main__":
+    main()

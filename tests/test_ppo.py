@@ -1,0 +1,138 @@
+"""PPO learner tests: GAE math, single-host training smoke, and the
+multi-chip shard_map path on the virtual 8-device CPU mesh
+(SURVEY.md §4 layers 4-5)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cat_tpu.envs.env import CatEnv, EnvCfg
+from cat_tpu.models.solo12 import SOLO12_ACTUATED_JOINT_ORDER, solo12_model
+from cat_tpu.rl.normalize import rms_init, rms_normalize, rms_update
+from cat_tpu.rl.ppo import PPO, PpoCfg
+from cat_tpu.tasks.solo12_flat import solo12_constraint_terms
+
+
+def _small_env(n):
+    model = solo12_model()
+    cfg = EnvCfg(num_envs=n, episode_length_s=2.0)
+    return CatEnv(model, cfg, solo12_constraint_terms(model),
+                  SOLO12_ACTUATED_JOINT_ORDER)
+
+
+def _small_cfg(n, steps=4):
+    return PpoCfg(num_steps=steps, num_iterations=4,
+                  minibatch_size=n * steps // 2)
+
+
+def test_rms_welford_matches_numpy():
+    rng = np.random.default_rng(0)
+    xs = [rng.normal(size=(32, 5)) * 3 + 1 for _ in range(4)]
+    st = rms_init((5,))
+    for x in xs:
+        st = rms_update(st, jnp.asarray(x))
+    allx = np.concatenate(xs)
+    # count starts at 1 with unit variance (reference RunningMeanStd init),
+    # so compare loosely after many samples
+    np.testing.assert_allclose(np.array(st.mean), allx.mean(0), atol=0.1)
+    np.testing.assert_allclose(np.array(st.var), allx.var(0), rtol=0.15)
+    z = rms_normalize(st, jnp.asarray(allx))
+    assert abs(float(z.mean())) < 0.1
+
+
+def test_gae_dual_done_reference_impl():
+    """The scanned GAE must match a direct numpy port of the reference
+    recurrence (cleanrl/ppo.py:250-277)."""
+    T, N = 6, 3
+    rng = np.random.default_rng(1)
+    rewards = rng.normal(size=(T, N)).astype(np.float32)
+    values = rng.normal(size=(T, N)).astype(np.float32)
+    dones = rng.uniform(0, 1, size=(T, N)).astype(np.float32)
+    tdones = (rng.uniform(size=(T, N)) < 0.2).astype(np.float32)
+    next_value = rng.normal(size=N).astype(np.float32)
+    next_done = rng.uniform(0, 1, size=N).astype(np.float32)
+    next_tdone = (rng.uniform(size=N) < 0.2).astype(np.float32)
+    gamma, lam = 0.99, 0.95
+
+    adv_ref = np.zeros_like(rewards)
+    lastgaelam = 0
+    for t in reversed(range(T)):
+        if t == T - 1:
+            nnt = (1.0 - next_done) * (1.0 - next_tdone)
+            nv = next_value
+        else:
+            nnt = (1.0 - dones[t + 1]) * (1.0 - tdones[t + 1])
+            nv = values[t + 1]
+        delta = rewards[t] + gamma * nv * nnt - values[t]
+        adv_ref[t] = lastgaelam = delta + gamma * lam * nnt * lastgaelam
+
+    # scanned version (mirrors rl/ppo.py)
+    def gae_step(carry, inp):
+        lastgaelam, nextvalue, nextnonterm = carry
+        reward, value, done, tdone = inp
+        delta = reward + gamma * nextvalue * nextnonterm - value
+        lastgaelam = delta + gamma * lam * nextnonterm * lastgaelam
+        return (lastgaelam, value, (1.0 - done) * (1.0 - tdone)), lastgaelam
+
+    nn_last = (1.0 - next_done) * (1.0 - next_tdone)
+    _, adv = jax.lax.scan(
+        gae_step,
+        (jnp.zeros(N), jnp.asarray(next_value), jnp.asarray(nn_last)),
+        tuple(map(jnp.asarray, (rewards, values, dones, tdones))),
+        reverse=True,
+    )
+    np.testing.assert_allclose(np.array(adv), adv_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_train_iteration_smoke():
+    n = 8
+    env = _small_env(n)
+    cfg = _small_cfg(n)
+    ppo = PPO(env, cfg)
+    es = env.init(jax.random.PRNGKey(0), n)
+    obs = jax.jit(env.observe)(es)
+    ts = ppo.init(jax.random.PRNGKey(1), es, obs)
+    fn = jax.jit(ppo.train_iteration)
+    p0 = jax.tree_util.tree_leaves(ts.params)[0].copy()
+    for _ in range(2):
+        ts, es, metrics = fn(ts, es)
+    assert np.isfinite(float(metrics["Loss/mean_surrogate_loss"]))
+    assert np.isfinite(float(metrics["Train/mean_reward_per_step"]))
+    assert int(ts.iteration) == 2
+    p1 = jax.tree_util.tree_leaves(ts.params)[0]
+    assert not np.allclose(np.array(p0), np.array(p1))  # params updated
+
+
+@pytest.mark.slow
+def test_multichip_shard_map():
+    """Full train step over a 4-device mesh: runs, params stay replicated."""
+    from cat_tpu.parallel import mesh as pmesh
+
+    ndev = 4
+    devices = jax.devices()[:ndev]
+    assert len(devices) == ndev, "conftest should provide 8 CPU devices"
+    mesh = pmesh.make_mesh(devices)
+    n = 8 * ndev
+    env = _small_env(n)
+    cfg = _small_cfg(n)
+    ppo, build = pmesh.make_train_fn(env, cfg, mesh)
+    es = env.init(jax.random.PRNGKey(0), n)
+    obs = jax.jit(env.observe)(es)
+    ts = ppo.init(jax.random.PRNGKey(1), es, obs)
+    ts = pmesh.shard_states(mesh, ts, n)
+    es = pmesh.shard_states(mesh, es, n)
+    fn = build(ts, es)
+    ts, es, metrics = fn(ts, es)
+    assert np.isfinite(float(metrics["Loss/mean_surrogate_loss"]))
+    # params replicated: every shard copy identical
+    leaf = jax.tree_util.tree_leaves(ts.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    # env state sharded over devices
+    q = es.sim.qpos
+    assert len(q.addressable_shards) == ndev
