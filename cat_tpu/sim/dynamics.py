@@ -183,6 +183,131 @@ def mass_matrix(model: RobotModel, jacs: Jacs, I_w: jnp.ndarray) -> jnp.ndarray:
 
 
 @f32_matmuls
+def inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of (..., 3, 3) matrices (adjugate / det)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h_, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h_
+    co01 = c * h_ - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h_ - e * g
+    co21 = b * g - a * h_
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv_det = 1.0 / det
+    rows = [
+        jnp.stack([co00, co01, co02], axis=-1),
+        jnp.stack([co10, co11, co12], axis=-1),
+        jnp.stack([co20, co21, co22], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2) * inv_det[..., None, None]
+
+
+@f32_matmuls
+def mass_matrix_inverse(M: jnp.ndarray, n_branch: int) -> jnp.ndarray:
+    """Explicit M^-1 (nv, nv) exploiting branched-tree sparsity.
+
+    For a floating base with `n_branch` independent 3-dof legs, the
+    joint-joint block of M is block-diagonal (legs only couple through the
+    base), so M^-1 follows from closed-form 3x3 inverses + a 6x6 Schur
+    complement — a few dozen fused ops instead of an O(nv^3) factorization
+    custom call (profiled ~100x slower than its arithmetic cost here) or a
+    large unrolled substitution program (pathological remote-compile time).
+
+      M = [[B, X], [X^T, D]],  D = blockdiag(D_1..D_k), W = X D^-1
+      S = B - W X^T
+      M^-1 = [[S^-1, -S^-1 W], [-W^T S^-1, D^-1 + W^T S^-1 W]]
+    """
+    nv = M.shape[0]
+    nj = nv - 6
+    assert nj == 3 * n_branch
+    B = M[:6, :6]
+    X = M[:6, 6:]                                    # (6, nj)
+    Db = jnp.stack(
+        [M[6 + 3 * i:9 + 3 * i, 6 + 3 * i:9 + 3 * i] for i in range(n_branch)]
+    )                                                # (k, 3, 3)
+    Dinv = inv3(Db)                                  # (k, 3, 3)
+    Xb = X.reshape(6, n_branch, 3)
+    Wb = jnp.einsum("ukj,kji->uki", Xb, Dinv)        # X D^-1, (6, k, 3)
+    W = Wb.reshape(6, nj)
+    S = B - W @ X.T                                  # (6, 6)
+    Sinv = _inv_spd_small(S)
+    TL = Sinv
+    TR = -Sinv @ W                                   # (6, nj)
+    # D^-1 (block diag) + W^T S^-1 W
+    Dinv_full = jnp.zeros((nj, nj))
+    for i in range(n_branch):
+        Dinv_full = Dinv_full.at[3 * i:3 * i + 3, 3 * i:3 * i + 3].set(Dinv[i])
+    BR = Dinv_full + W.T @ Sinv @ W
+    top = jnp.concatenate([TL, TR], axis=1)
+    bot = jnp.concatenate([TR.T, BR], axis=1)
+    Minv = jnp.concatenate([top, bot], axis=0)
+    return 0.5 * (Minv + Minv.T)
+
+
+def _inv_spd_small(S: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a small SPD matrix via unrolled Cholesky (6x6 here)."""
+    L = cholesky_factor(S)
+    return cholesky_solve(L, jnp.eye(S.shape[0]))
+
+
+@f32_matmuls
+def cholesky_factor(M: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular Cholesky of a small SPD matrix, fully unrolled.
+
+    XLA's batched `cholesky`/`triangular_solve` lower to custom calls that
+    profiled ~100x slower than the arithmetic cost for tiny (18x18) batched
+    matrices on this TPU; the unrolled column sweep compiles to plain fused
+    vector ops over the env batch instead.
+    """
+    n = M.shape[0]
+    L = jnp.zeros_like(M)
+    idx = jnp.arange(n)
+    for j in range(n):
+        if j == 0:
+            c = M[:, 0]
+        else:
+            c = M[:, j] - L[:, :j] @ L[j, :j]
+        d = jax.lax.rsqrt(jnp.maximum(c[j], 1e-12))
+        col = jnp.where(idx >= j, c * d, 0.0)
+        L = L.at[:, j].set(col)
+    return L
+
+
+@f32_matmuls
+def cholesky_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) X = B by unrolled forward/back substitution.
+
+    B: (n,) or (n, k). Static unroll over the n rows; every step is a fused
+    vector op over the trailing k (and the vmapped env batch).
+    """
+    n = L.shape[0]
+    vec = B.ndim == 1
+    if vec:
+        B = B[:, None]
+    ys = []
+    for i in range(n):
+        acc = B[i]
+        if i > 0:
+            acc = acc - L[i, :i] @ jnp.stack(ys)
+        ys.append(acc / L[i, i])
+    Y = jnp.stack(ys)
+    xs = [None] * n
+    U = L.T
+    for i in reversed(range(n)):
+        acc = Y[i]
+        if i < n - 1:
+            acc = acc - U[i, i + 1:] @ jnp.stack(xs[i + 1:])
+        xs[i] = acc / U[i, i]
+    X = jnp.stack(xs)
+    return X[:, 0] if vec else X
+
+
+@f32_matmuls
 def bias_forces(
     model: RobotModel, kin: Kin, jacs: Jacs, I_w: jnp.ndarray,
     qvel: jnp.ndarray,

@@ -101,13 +101,22 @@ def _substep(
     I_w = dynamics.world_inertias(model, kin)
     M = dynamics.mass_matrix(model, jacs, I_w)
     C = dynamics.bias_forces(model, kin, jacs, I_w, s.qvel)
-    chol = jax.scipy.linalg.cho_factor(M)
-    v_free = s.qvel + h * jax.scipy.linalg.cho_solve(chol, tau - C)
+    # structured inverse (legs couple only through the base): closed-form
+    # 3x3 blocks + 6x6 Schur complement — no factorization custom call.
+    # Models without uniform 3-dof branches fall back to the unrolled
+    # Cholesky (still custom-call-free).
+    if model.uniform_3dof_branches():
+        Minv = dynamics.mass_matrix_inverse(M, n_branch=model.nj // 3)
+    else:
+        Minv = dynamics.cholesky_solve(
+            dynamics.cholesky_factor(M), jnp.eye(nv)
+        )
+    v_free = s.qvel + h * (Minv @ (tau - C))
 
     # 3. contact
     con = collision.detect_plane_contacts(model, kin, anc_mask)
     E = con.J.reshape(-1, nv)                       # (3nc, nv)
-    minvEt = jax.scipy.linalg.cho_solve(chol, E.T)  # (nv, 3nc)
+    minvEt = Minv @ E.T                             # (nv, 3nc) — MXU matmul
     A = E @ minvEt
     b = E @ v_free
     lam = solver.pgs_solve(A, b, con.phi, mu, s.lam, h, params.solver)

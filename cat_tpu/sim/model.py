@@ -102,6 +102,33 @@ class RobotModel:
                 i = int(self.parent[i])
         return mask
 
+    def branches(self):
+        """Joint indices grouped by independent branch off the base.
+
+        Two joints are in the same branch iff their base-chains share a
+        joint; branches are independent in the mass matrix (zero coupling
+        except through the base 6-dof block).
+        """
+        body_branch = {0: -1}
+        branches: list[list[int]] = []
+        for b in range(1, self.nbody):
+            p = int(self.parent[b])
+            if p == 0:
+                body_branch[b] = len(branches)
+                branches.append([b - 1])
+            else:
+                body_branch[b] = body_branch[p]
+                branches[body_branch[b]].append(b - 1)
+        return branches
+
+    def uniform_3dof_branches(self) -> bool:
+        """True if every branch is a contiguous 3-dof chain (quadruped legs),
+        enabling the closed-form structured mass-matrix inverse."""
+        br = self.branches()
+        return all(
+            len(x) == 3 and x == list(range(x[0], x[0] + 3)) for x in br
+        )
+
     def default_qpos(self) -> np.ndarray:
         q = np.zeros(self.nq, dtype=np.float64)
         q[0:3] = self.default_base_pos

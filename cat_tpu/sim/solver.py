@@ -7,18 +7,20 @@ cat_flat_env_cfg.py:483-487). Design notes:
 
   * Fixed-size candidate set with masking (no dynamic shapes under jit).
   * Velocity-impulse NCP with Baumgarte stabilization (ERP) and constraint
-    regularization (CFM) — the soft-constraint trick that keeps the sweep
-    well-conditioned when the Delassus diagonal is small.
-  * Contact frame == world frame for the plane terrain (normal = +z), so the
-    Jacobian rows are world xyz and component 2 is the normal.
-  * Warm-started from the previous step's impulses (carried in SimState), the
-    standard PhysX trick that lets few sweeps converge.
-  * The sweep maintains w = A @ lam incrementally with dense rank-3 updates
-    (no scatters into A) inside nested ``lax.fori_loop``s — compact XLA
-    program, fused over the env batch. A Pallas VMEM-resident version is the
-    planned production kernel (cat_tpu/ops).
+    regularization (CFM).
+  * Contact frame == world frame for the plane terrain (normal = +z).
+  * Warm-started from the previous step's impulses (carried in SimState).
+  * LAYOUT MATTERS ON TPU: the sweep indexes per-contact 3-blocks. Dynamic
+    slicing at unaligned LANE offsets is catastrophically slow (profiled:
+    ~0.25 ms per block update at N=4096 — 1000x the arithmetic cost), so the
+    Delassus operator is kept as row blocks A_blk (nc, 3, 3nc) and the
+    running product w = A lam as (nc, 3): every slice in the sweep is then a
+    STATIC leading-dim index, and the rank-3 update is a dense (3,)x(3,3nc)
+    contraction. The contact loop is unrolled (static); only the sweep loop
+    is a fori_loop.
 
-All functions single-env; vmapped by the engine.
+All functions single-env; vmapped by the engine. The Pallas kernel in
+cat_tpu/ops/pgs_pallas.py is the VMEM-resident production variant.
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ class SolverParams(NamedTuple):
 
 
 def pgs_solve(
-    A: jnp.ndarray,          # (3nc, 3nc) Delassus J M^-1 J^T
+    A: jnp.ndarray,          # (3nc, 3nc) Delassus J M^-1 J^T (symmetric)
     b: jnp.ndarray,          # (3nc,) J v_free
     phi: jnp.ndarray,        # (nc,) signed distances
     mu: jnp.ndarray,         # () or (nc,) friction coefficient
@@ -53,46 +55,43 @@ def pgs_solve(
     active = (phi < params.margin).astype(A.dtype)        # (nc,)
     lam = lam0 * active[:, None]                          # (nc, 3)
 
-    # Baumgarte bias on normal components: drives penetration out
     bias = (params.erp / h) * jnp.minimum(phi + params.slop, 0.0)  # (nc,) <= 0
     mu = jnp.broadcast_to(mu, (nc,))
 
-    diag = jnp.diagonal(A).reshape(nc, 3)
-    inv_d = 1.0 / (diag + params.cfm)                     # (nc, 3)
-    # normal->tangent coupling entries A[t, n] of each diagonal block
-    blk_tn = jnp.stack(
-        [A[jnp.arange(0, n3, 3), jnp.arange(2, n3, 3)],
-         A[jnp.arange(1, n3, 3), jnp.arange(2, n3, 3)]], axis=1
-    )  # (nc, 2)
+    # Row-block view: A_blk[i] = A[3i:3i+3, :]. By symmetry these are also
+    # the column blocks, so both the residual read and the rank-3 update use
+    # only leading-dim indexing.
+    A_blk = A.reshape(nc, 3, n3)
+    # diagonal 3x3 blocks (static gather)
+    D = jnp.stack([A_blk[i][:, 3 * i:3 * i + 3] for i in range(nc)])  # (nc,3,3)
+    inv_d = 1.0 / (jnp.stack([jnp.diagonal(D[i]) for i in range(nc)])
+                   + params.cfm)                           # (nc, 3)
 
-    w = A @ lam.reshape(-1)                               # (3nc,)
-
-    def contact_body(i, carry):
-        lam, w = carry
-        k = 3 * i
-        v = lax.dynamic_slice(w, (k,), (3,)) + lax.dynamic_slice(b, (k,), (3,))
-        li = lax.dynamic_slice(lam, (i, 0), (1, 3))[0]
-        # normal impulse (projected to >= 0)
-        ln_new = jnp.maximum(li[2] - (v[2] + bias[i]) * inv_d[i, 2], 0.0)
-        ln_new = ln_new * active[i]
-        dn = ln_new - li[2]
-        # tangentials, accounting for the just-applied normal delta
-        vt1 = v[0] + blk_tn[i, 0] * dn
-        vt2 = v[1] + blk_tn[i, 1] * dn
-        lt1 = li[0] - vt1 * inv_d[i, 0]
-        lt2 = li[1] - vt2 * inv_d[i, 1]
-        # friction cone projection
-        tn = jnp.sqrt(lt1 * lt1 + lt2 * lt2 + 1e-12)
-        scale = jnp.minimum(1.0, mu[i] * ln_new / tn) * active[i]
-        new_i = jnp.stack([lt1 * scale, lt2 * scale, ln_new])
-        delta = new_i - li
-        Acol = lax.dynamic_slice(A, (0, k), (n3, 3))
-        w = w + Acol @ delta
-        lam = lax.dynamic_update_slice(lam, new_i[None], (i, 0))
-        return lam, w
+    b_blk = b.reshape(nc, 3)
+    w = (A @ lam.reshape(-1)).reshape(nc, 3)               # w = A lam
 
     def sweep(_, carry):
-        return lax.fori_loop(0, nc, contact_body, carry)
+        lam, w = carry
+        for i in range(nc):                                # static unroll
+            v = w[i] + b_blk[i]                            # (3,)
+            li = lam[i]
+            ln_new = (
+                jnp.maximum(li[2] - (v[2] + bias[i]) * inv_d[i, 2], 0.0)
+                * active[i]
+            )
+            dn = ln_new - li[2]
+            vt1 = v[0] + D[i, 0, 2] * dn
+            vt2 = v[1] + D[i, 1, 2] * dn
+            lt1 = li[0] - vt1 * inv_d[i, 0]
+            lt2 = li[1] - vt2 * inv_d[i, 1]
+            tn = jnp.sqrt(lt1 * lt1 + lt2 * lt2 + 1e-12)
+            scale = jnp.minimum(1.0, mu[i] * ln_new / tn) * active[i]
+            new_i = jnp.stack([lt1 * scale, lt2 * scale, ln_new])
+            delta = new_i - li                             # (3,)
+            # w += (A[:, 3i:3i+3] @ delta) == (delta @ A_blk[i]) by symmetry
+            w = w + (delta @ A_blk[i]).reshape(nc, 3)
+            lam = lam.at[i].set(new_i)                     # leading-dim update
+        return lam, w
 
     lam, _ = lax.fori_loop(0, params.iterations, sweep, (lam, w))
     return lam * active[:, None]
