@@ -17,8 +17,12 @@ TPU-native replacement for the reference's CaTEnv.step pipeline
 
 Everything is one pure function of (EnvState, action): no host sync, no
 dynamic shapes; resets are lax-select masks (SURVEY.md §7.3 hard part #3).
-Randomness is per-env PRNG keys so the env axis can shard across chips
-without correlated draws.
+
+Randomness: one step key derived from (per-shard seed, common_step), all
+draws are full (N, ...) shaped tensors — per-env vmapped key-splitting
+profiled ~1000x the arithmetic cost on TPU. Shards stay decorrelated because
+the seed array is sharded with the env axis and each shard folds in its own
+seed[0].
 """
 
 from __future__ import annotations
@@ -143,6 +147,10 @@ def resolve_names(patterns: Sequence[str], names: Sequence[str],
     return np.array(out, dtype=np.int32)
 
 
+def _uniform(key, shape, lo, hi):
+    return jax.random.uniform(key, shape, minval=lo, maxval=hi)
+
+
 # --------------------------------------------------------------------------
 # The environment
 # --------------------------------------------------------------------------
@@ -165,18 +173,22 @@ class CatEnv:
         self.t2m = resolve_names(
             list(actuated_joint_order), model.joint_names, preserve_order=True
         )
+        m2t = np.empty(model.nj, dtype=np.int32)
+        m2t[self.t2m] = np.arange(model.nj, dtype=np.int32)
+        self.m2t = m2t                  # model order -> task order gather
         self.default_joint_pos_task = jnp.asarray(
             model.default_qpos_joints[self.t2m], dtype=jnp.float32
         )
         self.illegal_ids = resolve_names(
             list(illegal_contact_bodies), model.report_names
         )
-        self.foot_slots = np.arange(len(model.foot_report_ids), dtype=np.int32)
 
         params = EngineParams(
             dt=cfg.sim_dt, decimation=cfg.decimation, kp=cfg.kp, kd=cfg.kd,
         )
-        self._engine_step = engine_mod.make_batched_step(model, params)
+        self._engine_step = engine_mod.make_batched_step(
+            model, params, num_envs=cfg.num_envs
+        )
 
         probe = self._probe_data(2)  # column-count probe for the term layout
         self.cset = ConstraintSet(constraint_terms, probe)
@@ -200,6 +212,8 @@ class CatEnv:
         )
 
     def _step_data(self, sim: SimState, command, action, prev_action) -> StepData:
+        n = command.shape[0]
+        nr = self.model.nreport
         quat = sim.qpos[:, 3:7]
         g_dir = jnp.array([0.0, 0.0, -1.0])
         proj_g = quat_rotate_inv(quat, jnp.broadcast_to(g_dir, quat[:, :3].shape))
@@ -218,7 +232,7 @@ class CatEnv:
             command=command,
             action=action,
             prev_action=prev_action,
-            force_hist=sim.force_hist,
+            force_hist=sim.force_hist.reshape(n, 3, nr, 3),
             touchdown=sim.touchdown,
             last_air_time=sim.last_air_time,
             step_dt=self.cfg.step_dt,
@@ -229,19 +243,15 @@ class CatEnv:
     def init(self, key: jnp.ndarray, num_envs: Optional[int] = None) -> EnvState:
         n = num_envs or self.cfg.num_envs
         nj = self.model.nj
-        keys = jax.random.split(key, n + 2)
-        env_keys, k_mu, k_cmd = keys[:n], keys[n], keys[n + 1]
-        sim = engine_mod.make_batched_init(self.model, n)
+        k_seed, k_mu, k_cmd, k_rst = jax.random.split(key, 4)
+        seed = jax.random.bits(k_seed, (n,), jnp.uint32)
         # startup friction randomization (physics_material event,
         # cat_flat_env_cfg.py:186-196; terrain friction 1.0, multiply-combine)
-        mu = jax.random.uniform(
-            k_mu, (n,), minval=self.cfg.events.friction_range[0],
-            maxval=self.cfg.events.friction_range[1],
-        )
-        cmd = self._sample_commands(jax.random.split(k_cmd, n))
-        nt, kt = self.cset.n_terms, self.cset.total_cols
+        mu = _uniform(k_mu, (n,), *self.cfg.events.friction_range)
+        cmd = self._sample_commands(k_cmd, n)
+        nt = self.cset.n_terms
         state = EnvState(
-            sim=sim,
+            sim=self._reset_sim(k_rst, n),
             action=jnp.zeros((n, nj)), prev_action=jnp.zeros((n, nj)),
             episode_len=jnp.zeros(n, dtype=jnp.int32),
             command=cmd,
@@ -252,35 +262,25 @@ class CatEnv:
             episode_viol=jnp.zeros((n, nt)), episode_prob=jnp.zeros((n, nt)),
             episode_rew=jnp.zeros(n),
             common_step=jnp.zeros((), dtype=jnp.int32),
-            key=env_keys,
+            seed=seed,
             acc_viol=jnp.zeros(nt), acc_prob=jnp.zeros(nt),
             acc_rew=jnp.zeros(()), acc_len=jnp.zeros(()),
             acc_count=jnp.zeros(()),
         )
-        # randomize initial pose like a reset (all envs)
-        sub = jax.vmap(lambda k: jax.random.fold_in(k, 123))(env_keys)
-        reset_sim = self._reset_sim(sub)
-        state = state._replace(sim=reset_sim)
         return state
 
-    def _sample_commands(self, keys: jnp.ndarray) -> jnp.ndarray:
+    def _sample_commands(self, key: jnp.ndarray, n: int) -> jnp.ndarray:
         """Uniform command sample + standing-env zeroing (Isaac Lab
         UniformVelocityCommand._resample_command + rel_standing_envs)."""
         c = self.cfg.commands
+        u = jax.random.uniform(key, (n, 4))
+        lo = jnp.array([c.lin_vel_x[0], c.lin_vel_y[0], c.ang_vel_z[0]])
+        hi = jnp.array([c.lin_vel_x[1], c.lin_vel_y[1], c.ang_vel_z[1]])
+        cmd = lo + (hi - lo) * u[:, :3]
+        standing = u[:, 3] < c.rel_standing_envs
+        return jnp.where(standing[:, None], 0.0, cmd)
 
-        def one(k):
-            k1, k2, k3, k4 = jax.random.split(k, 4)
-            cmd = jnp.array([
-                jax.random.uniform(k1, minval=c.lin_vel_x[0], maxval=c.lin_vel_x[1]),
-                jax.random.uniform(k2, minval=c.lin_vel_y[0], maxval=c.lin_vel_y[1]),
-                jax.random.uniform(k3, minval=c.ang_vel_z[0], maxval=c.ang_vel_z[1]),
-            ])
-            standing = jax.random.uniform(k4) < c.rel_standing_envs
-            return jnp.where(standing, 0.0, cmd)
-
-        return jax.vmap(one)(keys)
-
-    def _reset_sim(self, keys: jnp.ndarray) -> SimState:
+    def _reset_sim(self, key: jnp.ndarray, n: int) -> SimState:
         """Fresh randomized sim states for ALL envs (masked-selected later).
 
         Events: reset_root_state_uniform (pose x/y +-0.05, yaw +-1.57) and
@@ -288,36 +288,33 @@ class CatEnv:
         (cat_flat_env_cfg.py:198-225).
         """
         model, ev = self.model, self.cfg.events
-        n = keys.shape[0]
-
-        def one(k):
-            k1, k2, k3, k4 = jax.random.split(k, 4)
-            xy = jax.random.uniform(k1, (2,), minval=-ev.reset_pose_xy,
-                                    maxval=ev.reset_pose_xy)
-            yaw = jax.random.uniform(k2, minval=-ev.reset_yaw, maxval=ev.reset_yaw)
-            quat = quat_from_euler_zyx(jnp.zeros(()), jnp.zeros(()), yaw)
-            scale = jax.random.uniform(
-                k3, (model.nj,), minval=ev.reset_joint_scale[0],
-                maxval=ev.reset_joint_scale[1],
-            )
-            qj = jnp.asarray(model.default_qpos_joints) * scale
-            qj = jnp.clip(qj, jnp.asarray(model.joint_limit_lower),
-                          jnp.asarray(model.joint_limit_upper))
-            qpos = jnp.concatenate([
-                jnp.array([xy[0], xy[1], model.default_base_pos[2]]), quat, qj,
-            ]).astype(jnp.float32)
-            s = engine_mod.init_state(model, qpos=qpos)
-            del k4
-            return s
-
-        return jax.vmap(one)(keys)
+        nj = model.nj
+        u = jax.random.uniform(key, (n, 3 + nj))
+        xy = (2.0 * u[:, 0:2] - 1.0) * ev.reset_pose_xy
+        yaw = (2.0 * u[:, 2] - 1.0) * ev.reset_yaw
+        quat = quat_from_euler_zyx(jnp.zeros(n), jnp.zeros(n), yaw)
+        lo, hi = ev.reset_joint_scale
+        scale = lo + (hi - lo) * u[:, 3:]
+        qj = jnp.asarray(model.default_qpos_joints)[None, :] * scale
+        qj = jnp.clip(qj, jnp.asarray(model.joint_limit_lower),
+                      jnp.asarray(model.joint_limit_upper))
+        z = jnp.full((n, 1), model.default_base_pos[2])
+        qpos = jnp.concatenate([xy, z, quat, qj], axis=1).astype(jnp.float32)
+        base = engine_mod.init_state(model)
+        batched = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape), base
+        )
+        return batched._replace(qpos=qpos)
 
     def observe(self, state: EnvState) -> jnp.ndarray:
         """Observation of the current state (the reset obs, cleanrl/ppo.py:186)."""
         data = self._step_data(
             state.sim, state.command, state.action, state.prev_action
         )
-        k = jax.vmap(lambda kk: jax.random.fold_in(kk, 777))(state.key)
+        k = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(state.seed[0]),
+                               state.common_step), 777
+        )
         return self._observations(data, k)
 
     # ---------------- the step ----------------
@@ -329,21 +326,18 @@ class CatEnv:
         """Returns (state', obs, reward, dones(float), time_outs(bool))."""
         cfg = self.cfg
         n = raw_action.shape[0]
-        nj = self.model.nj
 
-        # per-env per-step key derivation
-        split2 = jax.vmap(lambda k: jax.random.split(k, 2))(state.key)
-        next_keys, step_keys = split2[:, 0], split2[:, 1]
-
-        def sub(i):
-            return jax.vmap(lambda k: jax.random.fold_in(k, i))(step_keys)
+        # one step key per shard; all draws are (N, ...) shaped
+        k_step = jax.random.fold_in(
+            jax.random.PRNGKey(state.seed[0]), state.common_step
+        )
+        ks = jax.random.split(k_step, 8)
 
         # 1. action processing (action_manager.process_action, cat_env.py:62)
         prev_action = state.action
         action = raw_action
         target_task = self.default_joint_pos_task + cfg.action_scale * action
-        # scatter task-order targets into model joint order
-        target_model = jnp.zeros((n, nj)).at[:, self.t2m].set(target_task)
+        target_model = target_task[:, self.m2t]   # task order -> model order
 
         # 2. physics (cat_env.py:71-88)
         sim = self._engine_step(state.sim, target_model, state.mu)
@@ -356,9 +350,8 @@ class CatEnv:
 
         # 4. terminations (cat_flat_env_cfg.py:358-377)
         time_out = episode_len >= cfg.max_episode_length
-        hist_n = jnp.linalg.norm(
-            sim.force_hist[:, :, self.illegal_ids, :], axis=-1
-        )
+        hist = sim.force_hist.reshape(n, 3, self.model.nreport, 3)
+        hist_n = jnp.linalg.norm(hist[:, :, self.illegal_ids, :], axis=-1)
         illegal = jnp.any(
             jnp.max(hist_n, axis=1) > cfg.terminations.contact_threshold, axis=1
         )
@@ -408,7 +401,7 @@ class CatEnv:
         acc_len = state.acc_len + jnp.sum(rf * episode_len)
         acc_count = state.acc_count + jnp.sum(rf)
 
-        fresh_sim = self._reset_sim(sub(0))
+        fresh_sim = self._reset_sim(ks[0], n)
         sim = jax.tree.map(
             lambda new, old: jnp.where(
                 rmask.reshape((n,) + (1,) * (old.ndim - 1)), new, old
@@ -422,7 +415,7 @@ class CatEnv:
         action = jnp.where(rmask[:, None], 0.0, action)
         prev_action = jnp.where(rmask[:, None], 0.0, prev_action)
         # command manager reset -> resample (Isaac Lab CommandTerm.reset)
-        reset_cmd = self._sample_commands(sub(1))
+        reset_cmd = self._sample_commands(ks[1], n)
         command = jnp.where(rmask[:, None], reset_cmd, state.command)
         time_left = jnp.where(
             rmask, cfg.commands.resampling_time, state.command_time_left
@@ -430,16 +423,15 @@ class CatEnv:
 
         # 7. command schedule + deadzone logic (commands.py:39-92)
         command, time_left = self._update_commands(
-            command, time_left, sub(2), sub(3), sub(4)
+            command, time_left, ks[2], ks[3], ks[4]
         )
 
         # 8. interval push event (events.py:59-96, cat_flat_env_cfg.py:231-239)
         if cfg.events.push_enabled:
             p_push = cfg.sim_dt / (cfg.episode_length_s * 2.0)
-            push = jax.random.uniform(sub(5)[0], (n,)) < p_push
-            push_vel = jax.random.uniform(
-                sub(6)[0], (n, 2), minval=-cfg.events.push_vel_xy,
-                maxval=cfg.events.push_vel_xy,
+            push = jax.random.uniform(ks[5], (n,)) < p_push
+            push_vel = _uniform(
+                ks[6], (n, 2), -cfg.events.push_vel_xy, cfg.events.push_vel_xy
             )
             # overwrite the FULL root velocity (z & angular zeroed) as the
             # reference does (events.py:91-96)
@@ -449,7 +441,7 @@ class CatEnv:
 
         # 9. observations (cat_flat_env_cfg.py:140-176; order + scales + noise)
         data = self._step_data(sim, command, action, prev_action)
-        obs = self._observations(data, sub(7))
+        obs = self._observations(data, ks[7])
 
         new_state = EnvState(
             sim=sim, action=action, prev_action=prev_action,
@@ -458,7 +450,7 @@ class CatEnv:
             running_max=running_max, max_p=max_p,
             episode_viol=episode_viol, episode_prob=episode_prob,
             episode_rew=episode_rew,
-            common_step=common_step, key=next_keys,
+            common_step=common_step, seed=state.seed,
             acc_viol=acc_viol, acc_prob=acc_prob, acc_rew=acc_rew,
             acc_len=acc_len, acc_count=acc_count,
         )
@@ -474,7 +466,7 @@ class CatEnv:
         # scheduled resample every resampling_time seconds
         time_left = time_left - cfg.step_dt
         expired = time_left <= 0.0
-        cmd_sched = self._sample_commands(k_sched)
+        cmd_sched = self._sample_commands(k_sched, n)
         command = jnp.where(expired[:, None], cmd_sched, command)
         time_left = jnp.where(expired, c.resampling_time, time_left)
 
@@ -487,30 +479,26 @@ class CatEnv:
             jnp.linalg.norm(command, axis=1) < c.velocity_deadzone
         ).astype(command.dtype)
         p_res = 0.01 * no_cmd + (cfg.sim_dt / cfg.episode_length_s) * (1 - no_cmd)
-        u = jax.vmap(lambda k: jax.random.uniform(k))(k_stoch)
+        u = jax.random.uniform(k_stoch, (n,))
         resample = u < p_res
-        cmd_stoch = self._sample_commands(
-            jax.vmap(lambda k: jax.random.fold_in(k, 1))(k_stoch)
-        )
+        cmd_stoch = self._sample_commands(jax.random.fold_in(k_stoch, 1), n)
         command = jnp.where(resample[:, None], cmd_stoch, command)
         time_left = jnp.where(resample, c.resampling_time, time_left)
 
         # random yaw-rate inversion
         p_flip = cfg.sim_dt / cfg.episode_length_s
-        flip = jax.random.uniform(k_flip[0], (n,)) < p_flip
+        flip = jax.random.uniform(k_flip, (n,)) < p_flip
         command = command.at[:, 2].multiply(1.0 - 2.0 * flip.astype(command.dtype))
         return command, time_left
 
     def _observations(self, data: StepData, k_noise) -> jnp.ndarray:
-        cfg = self.cfg
-        nz = cfg.noise
-        k = k_noise[0]
+        nz = self.cfg.noise
 
         def noise(x, mag, idx):
             if not nz.enabled or mag == 0.0:
                 return x
-            return x + jax.random.uniform(
-                jax.random.fold_in(k, idx), x.shape, minval=-mag, maxval=mag
+            return x + _uniform(
+                jax.random.fold_in(k_noise, idx), x.shape, -mag, mag
             )
 
         return jnp.concatenate(

@@ -55,7 +55,7 @@ class EnvState(NamedTuple):
     episode_prob: jnp.ndarray        # (N, n_terms) per-episode prob sums
     episode_rew: jnp.ndarray         # (N,) per-episode reward sum
     common_step: jnp.ndarray         # () int32 total control steps (global)
-    key: jnp.ndarray                 # PRNG key
+    seed: jnp.ndarray                # (N,) uint32; per-shard RNG seed (row 0)
     # Finished-episode metric accumulators, drained once per train iteration
     # (replaces the reference's extras["log"] dict, cat_env.py:169-197).
     acc_viol: jnp.ndarray            # (n_terms,) sum of per-episode violation %

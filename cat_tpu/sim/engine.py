@@ -43,14 +43,20 @@ class EngineParams(NamedTuple):
 
 
 class SimState(NamedTuple):
-    """Single-env physics state (the env layer holds a batched version)."""
+    """Single-env physics state (the env layer holds a batched version).
+
+    All multi-axis sensor buffers are stored FLAT: on TPU the trailing axis
+    pads to 128 lanes, so materializing e.g. (nreport, 3) state between scan
+    iterations would waste 42x HBM traffic. Logical shapes are recovered by
+    reshape inside the fused substep.
+    """
     qpos: jnp.ndarray                 # (nq,)
     qvel: jnp.ndarray                 # (nv,)
-    lam: jnp.ndarray                  # (ncand, 3) contact impulse warm start
+    lam: jnp.ndarray                  # (3*ncand,) contact impulse warm start
     applied_torque: jnp.ndarray       # (nj,) last substep PD torque
     joint_acc: jnp.ndarray            # (nj,) last substep joint acceleration
-    forces: jnp.ndarray               # (nreport, 3) latest net contact force
-    force_hist: jnp.ndarray           # (3, nreport, 3) last 3 substeps
+    forces: jnp.ndarray               # (3*nreport,) latest net contact force
+    force_hist: jnp.ndarray           # (3*nreport*3,) last 3 substeps, flat
     current_air_time: jnp.ndarray     # (nfeet,)
     last_air_time: jnp.ndarray        # (nfeet,)
     current_contact_time: jnp.ndarray # (nfeet,)
@@ -65,11 +71,11 @@ def init_state(model: RobotModel, qpos=None, qvel=None) -> SimState:
                          dtype=jnp.float32),
         qvel=jnp.asarray(qvel if qvel is not None else np.zeros(model.nv),
                          dtype=jnp.float32),
-        lam=jnp.zeros((model.ncand, 3)),
+        lam=jnp.zeros(3 * model.ncand),
         applied_torque=jnp.zeros(model.nj),
         joint_acc=jnp.zeros(model.nj),
-        forces=jnp.zeros((model.nreport, 3)),
-        force_hist=jnp.zeros((3, model.nreport, 3)),
+        forces=jnp.zeros(3 * model.nreport),
+        force_hist=jnp.zeros(9 * model.nreport),
         current_air_time=jnp.zeros(nf),
         last_air_time=jnp.zeros(nf),
         current_contact_time=jnp.zeros(nf),
@@ -79,10 +85,14 @@ def init_state(model: RobotModel, qpos=None, qvel=None) -> SimState:
 
 
 @f32_matmuls
-def _substep(
+def _substep_pre(
     model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
-    s: SimState, target_q: jnp.ndarray, mu: jnp.ndarray,
-) -> SimState:
+    s: SimState, target_q: jnp.ndarray,
+):
+    """Actuation + dynamics + collision up to the contact problem (single env).
+
+    Returns (tau_j, v_free, E, minvEt, b, phi).
+    """
     h = params.dt
     nv = model.nv
     qj = s.qpos[7:]
@@ -113,13 +123,22 @@ def _substep(
         )
     v_free = s.qvel + h * (Minv @ (tau - C))
 
-    # 3. contact
+    # 3. contact setup
     con = collision.detect_plane_contacts(model, kin, anc_mask)
     E = con.J.reshape(-1, nv)                       # (3nc, nv)
     minvEt = Minv @ E.T                             # (nv, 3nc) — MXU matmul
-    A = E @ minvEt
     b = E @ v_free
-    lam = solver.pgs_solve(A, b, con.phi, mu, s.lam, h, params.solver)
+    return tau_j, v_free, E, minvEt, b, con.phi
+
+
+@f32_matmuls
+def _substep_post(
+    model: RobotModel, params: EngineParams,
+    s: SimState, tau_j, v_free, minvEt, lam,
+) -> SimState:
+    """Impulse application + integration + sensors (single env)."""
+    h = params.dt
+    qj = s.qpos[7:]
     v_new = v_free + minvEt @ lam.reshape(-1)
 
     # 4. integrate (semi-implicit Euler; quaternion exp map)
@@ -142,7 +161,7 @@ def _substep(
         f_cand, jnp.asarray(model.cand_report), num_segments=model.nreport
     )
     force_hist = jnp.concatenate(
-        [s.force_hist[1:], forces[None]], axis=0
+        [s.force_hist[3 * model.nreport:], forces.reshape(-1)]
     )
     foot_f = jnp.linalg.norm(forces[jnp.asarray(model.foot_report_ids)], axis=-1)
     in_contact = foot_f > params.contact_force_threshold
@@ -157,10 +176,10 @@ def _substep(
     return SimState(
         qpos=qpos,
         qvel=v_new,
-        lam=lam,
+        lam=lam.reshape(-1),
         applied_torque=tau_j,
         joint_acc=(v_new[6:] - s.qvel[6:]) / h,
-        forces=forces,
+        forces=forces.reshape(-1),
         force_hist=force_hist,
         current_air_time=cur_air,
         last_air_time=last_air,
@@ -170,11 +189,58 @@ def _substep(
     )
 
 
-def control_step(
+def _substep(
     model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
     s: SimState, target_q: jnp.ndarray, mu: jnp.ndarray,
 ) -> SimState:
-    """One 50 Hz control step = `decimation` physics substeps (single env).
+    """Single-env substep with the XLA solver (CPU/test path)."""
+    tau_j, v_free, E, minvEt, b, phi = _substep_pre(
+        model, params, anc_mask, s, target_q
+    )
+    A = E @ minvEt
+    lam = solver.pgs_solve(
+        A, b, phi, mu, s.lam.reshape(model.ncand, 3), params.dt, params.solver
+    )
+    return _substep_post(model, params, s, tau_j, v_free, minvEt, lam)
+
+
+def _batched_substep(
+    model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
+    use_pallas: bool,
+    s: SimState, target_q: jnp.ndarray, mu: jnp.ndarray,
+) -> SimState:
+    """Batched substep; contact solve via the Pallas kernel on TPU."""
+    if not use_pallas:
+        return jax.vmap(
+            functools.partial(_substep, model, params, anc_mask)
+        )(s, target_q, mu)
+
+    from cat_tpu.ops import pgs_pallas
+
+    sp = params.solver
+    pre = jax.vmap(
+        functools.partial(_substep_pre, model, params, anc_mask)
+    )(s, target_q)
+    tau_j, v_free, E, minvEt, b, phi = pre
+    bias = (sp.erp / params.dt) * jnp.minimum(phi + sp.slop, 0.0)
+    active = (phi < sp.margin).astype(jnp.float32)
+    lam = pgs_pallas.pgs_solve_batched(
+        E, minvEt, b, bias, active, mu,
+        s.lam.reshape(-1, model.ncand, 3),
+        nc=model.ncand, nv=model.nv,
+        iterations=sp.iterations, cfm=sp.cfm,
+    )
+    return jax.vmap(functools.partial(_substep_post, model, params))(
+        s, tau_j, v_free, minvEt, lam
+    )
+
+
+def control_step(
+    model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
+    use_pallas: bool,
+    s: SimState, target_q: jnp.ndarray, mu: jnp.ndarray,
+) -> SimState:
+    """One 50 Hz control step = `decimation` physics substeps (BATCHED).
 
     The decimation loop is a lax.scan so the substep body compiles once
     (compile-time matters: the substep sits inside the rollout scan of the
@@ -183,17 +249,35 @@ def control_step(
     s = s._replace(touchdown=jnp.zeros_like(s.touchdown))
 
     def body(carry, _):
-        return _substep(model, params, anc_mask, carry, target_q, mu), None
+        return (
+            _batched_substep(
+                model, params, anc_mask, use_pallas, carry, target_q, mu
+            ),
+            None,
+        )
 
     s, _ = jax.lax.scan(body, s, None, length=params.decimation)
     return s
 
 
-def make_batched_step(model: RobotModel, params: EngineParams):
-    """Returns step(batched SimState, targets (N, nj), mu (N,)) -> SimState."""
+def make_batched_step(model: RobotModel, params: EngineParams,
+                      num_envs: int = 0):
+    """Returns step(batched SimState, targets (N, nj), mu (N,)) -> SimState.
+
+    Uses the Pallas contact kernel on TPU when the local env count is a
+    multiple of its tile size; the pure-XLA path otherwise (CPU tests,
+    odd batch sizes).
+    """
+    from cat_tpu.ops.pgs_pallas import TILE_N
+
     anc_mask = model.ancestor_mask()
-    f = functools.partial(control_step, model, params, anc_mask)
-    return jax.vmap(f)
+    use_pallas = (
+        jax.default_backend() == "tpu" and num_envs > 0
+        and num_envs % TILE_N == 0
+    )
+    return functools.partial(
+        control_step, model, params, anc_mask, use_pallas
+    )
 
 
 def make_batched_init(model: RobotModel, n: int) -> SimState:

@@ -21,7 +21,7 @@ def settled():
     """4 envs dropped from default pose and PD-held for 1.5 s."""
     model = solo12_model()
     params = EngineParams(kp=SOLO12_KP, kd=SOLO12_KD)
-    step = jax.jit(em.make_batched_step(model, params))
+    step = jax.jit(em.make_batched_step(model, params, num_envs=4))
     s = em.make_batched_init(model, 4)
     target = jnp.broadcast_to(jnp.asarray(model.default_qpos_joints), (4, 12))
     mu = jnp.full((4,), 1.0)
@@ -55,7 +55,9 @@ def test_no_deep_penetration(settled):
 
 def test_contact_forces_support_weight(settled):
     model, s = settled
-    total_fz = np.array(s.forces[:, :, 2].sum(axis=1))
+    total_fz = np.array(
+        s.forces.reshape(4, model.nreport, 3)[:, :, 2].sum(axis=1)
+    )
     weight = model.mass.sum() * 9.81
     np.testing.assert_allclose(total_fz, weight, rtol=0.25)
 
@@ -75,7 +77,7 @@ def test_contact_time_tracking(settled):
 
 def test_foot_forces_reported_on_feet_only(settled):
     model, s = settled
-    f = np.array(s.forces)
+    f = np.array(s.forces.reshape(4, model.nreport, 3))
     feet = model.foot_report_ids
     # feet carry the load
     assert np.all(np.linalg.norm(f[:, feet], axis=-1).sum(axis=1) > 10.0)

@@ -33,11 +33,13 @@ def main():
     cfg = env.cfg
 
     def keys_and_target(state, raw_action):
-        split2 = jax.vmap(lambda k: jax.random.split(k, 2))(state.key)
-        next_keys, step_keys = split2[:, 0], split2[:, 1]
+        k_step = jax.random.fold_in(
+            jax.random.PRNGKey(state.seed[0]), state.common_step
+        )
+        ks = jax.random.split(k_step, 8)
         target_task = env.default_joint_pos_task + cfg.action_scale * raw_action
-        target_model = jnp.zeros((N, env.model.nj)).at[:, env.t2m].set(target_task)
-        return next_keys, step_keys, target_model
+        target_model = target_task[:, env.m2t]
+        return ks, ks, target_model
 
     @jax.jit
     def upto_engine(state, raw_action):
@@ -60,13 +62,10 @@ def main():
 
     @jax.jit
     def upto_reset(state, raw_action):
-        next_keys, step_keys, target_model = keys_and_target(state, raw_action)
+        ks, _, target_model = keys_and_target(state, raw_action)
         sim = env._engine_step(state.sim, target_model, state.mu)
 
-        def sub(i):
-            return jax.vmap(lambda k: jax.random.fold_in(k, i))(step_keys)
-
-        fresh = env._reset_sim(sub(0))
+        fresh = env._reset_sim(ks[0], N)
         rmask = state.episode_len > 250
         sim = jax.tree.map(
             lambda new, old: jnp.where(
@@ -80,13 +79,9 @@ def main():
 
     @jax.jit
     def cmd_update(state):
-        step_keys = state.key
-
-        def sub(i):
-            return jax.vmap(lambda k: jax.random.fold_in(k, i))(step_keys)
-
+        ks = jax.random.split(jax.random.PRNGKey(state.seed[0]), 8)
         return env._update_commands(
-            state.command, state.command_time_left, sub(2), sub(3), sub(4)
+            state.command, state.command_time_left, ks[2], ks[3], ks[4]
         )
 
     timeit("D: command update alone", cmd_update, es)

@@ -41,7 +41,7 @@ def main():
     mu = jnp.ones(N)
 
     # full control step
-    step = jax.jit(em.make_batched_step(model, params))
+    step = jax.jit(em.make_batched_step(model, params, num_envs=N))
     timeit("engine control_step (4 substeps)", step, s, target, mu)
 
     # dynamics pieces (single substep granularity)
@@ -88,7 +88,7 @@ def main():
         return lam
 
     timeit("collision+delassus+pgs", contact_path, s.qpos, s.qvel, M,
-           s.lam, mu)
+           s.lam.reshape(N, -1, 3), mu)
 
     @jax.jit
     @jax.vmap
@@ -108,7 +108,8 @@ def main():
         return E @ minvEt, E @ qvel, con.phi
 
     A, b, phi = build_A(s.qpos, s.qvel, M)
-    timeit("pgs only (8 sweeps x 28)", pgs_only, A, b, phi, s.lam, mu)
+    timeit("pgs only (8 sweeps x 28)", pgs_only, A, b, phi,
+           s.lam.reshape(N, -1, 3), mu)
 
     # env + rng
     env = make_env(num_envs=N)
@@ -118,6 +119,8 @@ def main():
 
     # env internals
     data = env._step_data(es.sim, es.command, es.action, es.prev_action)
+    import jax.random as jr
+    k = jr.PRNGKey(0)
 
     @jax.jit
     def constraints_only(data, rm, mp):
@@ -127,26 +130,16 @@ def main():
            es.running_max, es.max_p)
 
     @jax.jit
-    def reset_only(keys):
-        return env._reset_sim(keys)
+    def reset_only(k):
+        return env._reset_sim(k, N)
 
-    timeit("fresh reset states", reset_only, es.key)
+    timeit("fresh reset states", reset_only, k)
 
     @jax.jit
     def obs_only(data, k):
         return env._observations(data, k)
 
-    timeit("observations+noise", obs_only, data, es.key)
-
-    # rng cost
-    @jax.jit
-    def rng_only(keys):
-        s2 = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
-        subs = [jax.vmap(lambda k, i=i: jax.random.fold_in(k, i))(s2[:, 1])
-                for i in range(8)]
-        return subs
-
-    timeit("per-env PRNG (split + 8 fold_ins)", rng_only, es.key)
+    timeit("observations+noise", obs_only, data, k)
 
     # full PPO train iteration
     from cat_tpu.rl.ppo import PPO, PpoCfg
