@@ -36,9 +36,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from cat_tpu.sim import engine as engine_mod
+from cat_tpu.sim import terrain as terrain_mod
 from cat_tpu.sim.engine import EngineParams, SimState
-from cat_tpu.sim.maths import quat_from_euler_zyx, quat_rotate_inv
+from cat_tpu.sim.maths import quat_from_euler_zyx, quat_rotate_inv, quat_yaw
 from cat_tpu.sim.model import RobotModel
+from cat_tpu.sim.terrain import Terrain
 
 from .cat import ConstraintSet, ConstraintTerm, curriculum_max_p
 from .types import EnvState, StepData
@@ -97,6 +99,32 @@ class TerminationsCfg:
 
 
 @dataclasses.dataclass(frozen=True)
+class HeightScanCfg:
+    """Height-scanner observation grid (Isaac Lab height_scan equivalent,
+    for the rough-terrain task — BASELINE.json config #3)."""
+    size_x: float = 1.6
+    size_y: float = 1.0
+    resolution: float = 0.1
+    offset_z: float = 0.5      # obs = clip(base_z - offset - h, lo, hi)
+    clip: float = 1.0
+    noise: float = 0.1
+
+    @property
+    def num_points(self) -> int:
+        nx = int(round(self.size_x / self.resolution)) + 1
+        ny = int(round(self.size_y / self.resolution)) + 1
+        return nx * ny
+
+    def grid(self) -> np.ndarray:
+        xs = np.linspace(-self.size_x / 2, self.size_x / 2,
+                         int(round(self.size_x / self.resolution)) + 1)
+        ys = np.linspace(-self.size_y / 2, self.size_y / 2,
+                         int(round(self.size_y / self.resolution)) + 1)
+        gx, gy = np.meshgrid(xs, ys, indexing="ij")
+        return np.stack([gx.ravel(), gy.ravel()], axis=-1)  # (P, 2)
+
+
+@dataclasses.dataclass(frozen=True)
 class EnvCfg:
     num_envs: int = 4096
     episode_length_s: float = 10.0
@@ -111,6 +139,9 @@ class EnvCfg:
     terminations: TerminationsCfg = TerminationsCfg()
     kp: float = 4.0
     kd: float = 0.2
+    terrain: Terrain = terrain_mod.plane()
+    height_scan: Optional[HeightScanCfg] = None
+    terrain_curriculum: bool = False   # promote/demote difficulty rows
 
     @property
     def step_dt(self) -> float:
@@ -187,12 +218,16 @@ class CatEnv:
             dt=cfg.sim_dt, decimation=cfg.decimation, kp=cfg.kp, kd=cfg.kd,
         )
         self._engine_step = engine_mod.make_batched_step(
-            model, params, num_envs=cfg.num_envs
+            model, params, num_envs=cfg.num_envs, terrain=cfg.terrain
         )
 
         probe = self._probe_data(2)  # column-count probe for the term layout
         self.cset = ConstraintSet(constraint_terms, probe)
         self.num_obs = 9 + 3 * self.num_actions  # 45 for Solo12
+        if cfg.height_scan is not None:
+            self._scan_grid = jnp.asarray(cfg.height_scan.grid(),
+                                          dtype=jnp.float32)
+            self.num_obs += cfg.height_scan.num_points
 
     # ---------------- helpers ----------------
 
@@ -204,7 +239,7 @@ class CatEnv:
             joint_pos=z((n, nj)), joint_vel=z((n, nj)), joint_acc=z((n, nj)),
             applied_torque=z((n, nj)),
             default_joint_pos=self.default_joint_pos_task,
-            base_pos=z((n, 3)), base_lin_vel_b=z((n, 3)),
+            base_pos=z((n, 3)), base_yaw=z((n,)), base_lin_vel_b=z((n, 3)),
             base_ang_vel_b=z((n, 3)), projected_gravity=z((n, 3)),
             command=z((n, 3)), action=z((n, nj)), prev_action=z((n, nj)),
             force_hist=z((n, 3, nr, 3)), touchdown=z((n, nf), dtype=bool),
@@ -226,6 +261,7 @@ class CatEnv:
             applied_torque=sim.applied_torque[:, t2m],
             default_joint_pos=self.default_joint_pos_task,
             base_pos=sim.qpos[:, 0:3],
+            base_yaw=quat_yaw(quat),
             base_lin_vel_b=lin_b,
             base_ang_vel_b=sim.qvel[:, 3:6],   # already body frame
             projected_gravity=proj_g,
@@ -243,15 +279,27 @@ class CatEnv:
     def init(self, key: jnp.ndarray, num_envs: Optional[int] = None) -> EnvState:
         n = num_envs or self.cfg.num_envs
         nj = self.model.nj
-        k_seed, k_mu, k_cmd, k_rst = jax.random.split(key, 4)
+        k_seed, k_mu, k_cmd, k_rst, k_lvl = jax.random.split(key, 5)
         seed = jax.random.bits(k_seed, (n,), jnp.uint32)
         # startup friction randomization (physics_material event,
         # cat_flat_env_cfg.py:186-196; terrain friction 1.0, multiply-combine)
         mu = _uniform(k_mu, (n,), *self.cfg.events.friction_range)
         cmd = self._sample_commands(k_cmd, n)
         nt = self.cset.n_terms
+        # terrain patch assignment (curriculum spawning; flat -> all zeros)
+        terr = self.cfg.terrain
+        if terr.kind == "hfield":
+            init_max_row = max(1, terr.rows // 2)
+            trow = jax.random.randint(k_lvl, (n,), 0, init_max_row,
+                                      dtype=jnp.int32)
+            tcol = jnp.arange(n, dtype=jnp.int32) % terr.cols
+            origin = self._patch_origins(trow, tcol)
+        else:
+            trow = jnp.zeros(n, dtype=jnp.int32)
+            tcol = jnp.zeros(n, dtype=jnp.int32)
+            origin = jnp.zeros((n, 2))
         state = EnvState(
-            sim=self._reset_sim(k_rst, n),
+            sim=self._reset_sim(k_rst, n, origin),
             action=jnp.zeros((n, nj)), prev_action=jnp.zeros((n, nj)),
             episode_len=jnp.zeros(n, dtype=jnp.int32),
             command=cmd,
@@ -261,6 +309,7 @@ class CatEnv:
             max_p=self.cset.init_max_p(),
             episode_viol=jnp.zeros((n, nt)), episode_prob=jnp.zeros((n, nt)),
             episode_rew=jnp.zeros(n),
+            origin=origin, terrain_row=trow, terrain_col=tcol,
             common_step=jnp.zeros((), dtype=jnp.int32),
             seed=seed,
             acc_viol=jnp.zeros(nt), acc_prob=jnp.zeros(nt),
@@ -268,6 +317,14 @@ class CatEnv:
             acc_count=jnp.zeros(()),
         )
         return state
+
+    def _patch_origins(self, row: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
+        """World xy of patch centers for (row, col) arrays."""
+        t = self.cfg.terrain
+        H, W = t.size_m
+        x = (row.astype(jnp.float32) + 0.5) * t.patch_m - H / 2.0
+        y = (col.astype(jnp.float32) + 0.5) * t.patch_m - W / 2.0
+        return jnp.stack([x, y], axis=-1)
 
     def _sample_commands(self, key: jnp.ndarray, n: int) -> jnp.ndarray:
         """Uniform command sample + standing-env zeroing (Isaac Lab
@@ -280,17 +337,19 @@ class CatEnv:
         standing = u[:, 3] < c.rel_standing_envs
         return jnp.where(standing[:, None], 0.0, cmd)
 
-    def _reset_sim(self, key: jnp.ndarray, n: int) -> SimState:
+    def _reset_sim(self, key: jnp.ndarray, n: int,
+                   origin: jnp.ndarray) -> SimState:
         """Fresh randomized sim states for ALL envs (masked-selected later).
 
         Events: reset_root_state_uniform (pose x/y +-0.05, yaw +-1.57) and
         reset_joints_by_scale (q = default * U(0.95, 1.05), qd = 0)
-        (cat_flat_env_cfg.py:198-225).
+        (cat_flat_env_cfg.py:198-225). Spawn is at the env's terrain-patch
+        origin (flat: world origin).
         """
         model, ev = self.model, self.cfg.events
         nj = model.nj
         u = jax.random.uniform(key, (n, 3 + nj))
-        xy = (2.0 * u[:, 0:2] - 1.0) * ev.reset_pose_xy
+        xy = origin + (2.0 * u[:, 0:2] - 1.0) * ev.reset_pose_xy
         yaw = (2.0 * u[:, 2] - 1.0) * ev.reset_yaw
         quat = quat_from_euler_zyx(jnp.zeros(n), jnp.zeros(n), yaw)
         lo, hi = ev.reset_joint_scale
@@ -401,7 +460,28 @@ class CatEnv:
         acc_len = state.acc_len + jnp.sum(rf * episode_len)
         acc_count = state.acc_count + jnp.sum(rf)
 
-        fresh_sim = self._reset_sim(ks[0], n)
+        # terrain curriculum (Isaac Lab terrain_levels_vel equivalent):
+        # promoted on a timed-out episode that walked at least half the
+        # commanded distance; demoted when it walked less than a quarter.
+        origin, trow, tcol = state.origin, state.terrain_row, state.terrain_col
+        if cfg.terrain_curriculum and cfg.terrain.kind == "hfield":
+            dist = jnp.linalg.norm(sim.qpos[:, 0:2] - origin, axis=1)
+            required = (
+                jnp.linalg.norm(state.command[:, :2], axis=1)
+                * cfg.episode_length_s
+            )
+            move_up = time_out & (dist > 0.5 * required)
+            move_down = dist < 0.25 * required
+            new_row = jnp.clip(
+                trow + move_up.astype(jnp.int32) - move_down.astype(jnp.int32),
+                0, cfg.terrain.rows - 1,
+            )
+            trow = jnp.where(rmask, new_row, trow)
+            origin = jnp.where(
+                rmask[:, None], self._patch_origins(trow, tcol), origin
+            )
+
+        fresh_sim = self._reset_sim(ks[0], n, origin)
         sim = jax.tree.map(
             lambda new, old: jnp.where(
                 rmask.reshape((n,) + (1,) * (old.ndim - 1)), new, old
@@ -447,6 +527,7 @@ class CatEnv:
             sim=sim, action=action, prev_action=prev_action,
             episode_len=episode_len, command=command,
             command_time_left=time_left, mu=state.mu,
+            origin=origin, terrain_row=trow, terrain_col=tcol,
             running_max=running_max, max_p=max_p,
             episode_viol=episode_viol, episode_prob=episode_prob,
             episode_rew=episode_rew,
@@ -501,17 +582,34 @@ class CatEnv:
                 jax.random.fold_in(k_noise, idx), x.shape, -mag, mag
             )
 
-        return jnp.concatenate(
-            [
-                noise(data.base_ang_vel_b, nz.ang_vel, 0) * 0.25,
-                data.command * jnp.array([2.0, 2.0, 0.25]),
-                noise(data.projected_gravity, nz.gravity, 1) * 0.1,
-                noise(data.joint_pos, nz.joint_pos, 2),
-                noise(data.joint_vel, nz.joint_vel, 3) * 0.05,
-                data.action,
-            ],
-            axis=1,
-        )
+        parts = [
+            noise(data.base_ang_vel_b, nz.ang_vel, 0) * 0.25,
+            data.command * jnp.array([2.0, 2.0, 0.25]),
+            noise(data.projected_gravity, nz.gravity, 1) * 0.1,
+            noise(data.joint_pos, nz.joint_pos, 2),
+            noise(data.joint_vel, nz.joint_vel, 3) * 0.05,
+            data.action,
+        ]
+        hs = self.cfg.height_scan
+        if hs is not None:
+            # yaw-aligned scan grid around the base (Isaac Lab height_scan)
+            yaw = data.base_yaw
+            cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+            gx, gy = self._scan_grid[:, 0], self._scan_grid[:, 1]
+            px = data.base_pos[:, 0:1] + cy[:, None] * gx - sy[:, None] * gy
+            py = data.base_pos[:, 1:2] + sy[:, None] * gx + cy[:, None] * gy
+            pts = jnp.stack([px, py], axis=-1)          # (N, P, 2)
+            h = terrain_mod.height_at(self.cfg.terrain, pts)
+            scan = jnp.clip(
+                data.base_pos[:, 2:3] - hs.offset_z - h, -hs.clip, hs.clip
+            )
+            if nz.enabled and hs.noise > 0:
+                scan = scan + _uniform(
+                    jax.random.fold_in(k_noise, 4), scan.shape,
+                    -hs.noise, hs.noise,
+                )
+            parts.append(scan)
+        return jnp.concatenate(parts, axis=1)
 
     # ---------------- metrics ----------------
 

@@ -28,6 +28,7 @@ class StepData(NamedTuple):
     applied_torque: jnp.ndarray     # (N, 12) last-substep PD torque
     default_joint_pos: jnp.ndarray  # (12,)
     base_pos: jnp.ndarray           # (N, 3) world
+    base_yaw: jnp.ndarray           # (N,) world yaw angle
     base_lin_vel_b: jnp.ndarray     # (N, 3) base frame
     base_ang_vel_b: jnp.ndarray     # (N, 3) base frame
     projected_gravity: jnp.ndarray  # (N, 3) unit gravity dir in base frame
@@ -49,6 +50,9 @@ class EnvState(NamedTuple):
     command: jnp.ndarray             # (N, 3)
     command_time_left: jnp.ndarray   # (N,) seconds until scheduled resample
     mu: jnp.ndarray                  # (N,) friction (startup randomization)
+    origin: jnp.ndarray              # (N, 2) spawn origin (terrain patch)
+    terrain_row: jnp.ndarray         # (N,) int32 difficulty level
+    terrain_col: jnp.ndarray         # (N,) int32 terrain type column
     running_max: jnp.ndarray         # (Ktot,) CaT polyak maxes (global)
     max_p: jnp.ndarray               # (n_terms,) curriculum-scaled caps
     episode_viol: jnp.ndarray        # (N, n_terms) per-episode violation counts

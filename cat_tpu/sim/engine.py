@@ -31,6 +31,7 @@ from . import collision, dynamics, solver
 from .dynamics import f32_matmuls
 from .maths import quat_integrate, quat_rotate
 from .model import RobotModel
+from .terrain import Terrain, plane
 
 
 class EngineParams(NamedTuple):
@@ -87,11 +88,12 @@ def init_state(model: RobotModel, qpos=None, qvel=None) -> SimState:
 @f32_matmuls
 def _substep_pre(
     model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
+    terrain: Terrain,
     s: SimState, target_q: jnp.ndarray,
 ):
     """Actuation + dynamics + collision up to the contact problem (single env).
 
-    Returns (tau_j, v_free, E, minvEt, b, phi).
+    Returns (tau_j, v_free, E, minvEt, b, phi, frame).
     """
     h = params.dt
     nv = model.nv
@@ -124,19 +126,27 @@ def _substep_pre(
     v_free = s.qvel + h * (Minv @ (tau - C))
 
     # 3. contact setup
-    con = collision.detect_plane_contacts(model, kin, anc_mask)
+    con = collision.detect_contacts(model, terrain, kin, anc_mask)
     E = con.J.reshape(-1, nv)                       # (3nc, nv)
     minvEt = Minv @ E.T                             # (nv, 3nc) — MXU matmul
     b = E @ v_free
-    return tau_j, v_free, E, minvEt, b, con.phi
+    frame = (
+        con.frame if con.frame is not None
+        else jnp.zeros((0, 3, 3))                   # sentinel: world frame
+    )
+    return tau_j, v_free, E, minvEt, b, con.phi, frame
 
 
 @f32_matmuls
 def _substep_post(
     model: RobotModel, params: EngineParams,
-    s: SimState, tau_j, v_free, minvEt, lam,
+    s: SimState, tau_j, v_free, minvEt, lam, frame,
 ) -> SimState:
-    """Impulse application + integration + sensors (single env)."""
+    """Impulse application + integration + sensors (single env).
+
+    frame: (ncand, 3, 3) contact frames (rows t1,t2,n), or shape (0,3,3) to
+    mean world frame (plane terrain fast path).
+    """
     h = params.dt
     qj = s.qpos[7:]
     v_new = v_free + minvEt @ lam.reshape(-1)
@@ -156,7 +166,12 @@ def _substep_post(
     qpos = jnp.concatenate([base_pos, base_quat, clamped])
 
     # 5. sensors
-    f_cand = lam / h                                 # world-frame forces (N)
+    if frame.shape[0] > 0:
+        # rotate contact-frame impulses back to world: f = frame^T @ lam
+        lam_w = jnp.einsum("cji,cj->ci", frame, lam)
+    else:
+        lam_w = lam
+    f_cand = lam_w / h                               # world-frame forces (N)
     forces = jax.ops.segment_sum(
         f_cand, jnp.asarray(model.cand_report), num_segments=model.nreport
     )
@@ -191,37 +206,38 @@ def _substep_post(
 
 def _substep(
     model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
+    terrain: Terrain,
     s: SimState, target_q: jnp.ndarray, mu: jnp.ndarray,
 ) -> SimState:
     """Single-env substep with the XLA solver (CPU/test path)."""
-    tau_j, v_free, E, minvEt, b, phi = _substep_pre(
-        model, params, anc_mask, s, target_q
+    tau_j, v_free, E, minvEt, b, phi, frame = _substep_pre(
+        model, params, anc_mask, terrain, s, target_q
     )
     A = E @ minvEt
     lam = solver.pgs_solve(
         A, b, phi, mu, s.lam.reshape(model.ncand, 3), params.dt, params.solver
     )
-    return _substep_post(model, params, s, tau_j, v_free, minvEt, lam)
+    return _substep_post(model, params, s, tau_j, v_free, minvEt, lam, frame)
 
 
 def _batched_substep(
     model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
-    use_pallas: bool,
+    terrain: Terrain, use_pallas: bool,
     s: SimState, target_q: jnp.ndarray, mu: jnp.ndarray,
 ) -> SimState:
     """Batched substep; contact solve via the Pallas kernel on TPU."""
     if not use_pallas:
         return jax.vmap(
-            functools.partial(_substep, model, params, anc_mask)
+            functools.partial(_substep, model, params, anc_mask, terrain)
         )(s, target_q, mu)
 
     from cat_tpu.ops import pgs_pallas
 
     sp = params.solver
     pre = jax.vmap(
-        functools.partial(_substep_pre, model, params, anc_mask)
+        functools.partial(_substep_pre, model, params, anc_mask, terrain)
     )(s, target_q)
-    tau_j, v_free, E, minvEt, b, phi = pre
+    tau_j, v_free, E, minvEt, b, phi, frame = pre
     bias = (sp.erp / params.dt) * jnp.minimum(phi + sp.slop, 0.0)
     active = (phi < sp.margin).astype(jnp.float32)
     lam = pgs_pallas.pgs_solve_batched(
@@ -231,13 +247,13 @@ def _batched_substep(
         iterations=sp.iterations, cfm=sp.cfm,
     )
     return jax.vmap(functools.partial(_substep_post, model, params))(
-        s, tau_j, v_free, minvEt, lam
+        s, tau_j, v_free, minvEt, lam, frame
     )
 
 
 def control_step(
     model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
-    use_pallas: bool,
+    terrain: Terrain, use_pallas: bool,
     s: SimState, target_q: jnp.ndarray, mu: jnp.ndarray,
 ) -> SimState:
     """One 50 Hz control step = `decimation` physics substeps (BATCHED).
@@ -251,7 +267,8 @@ def control_step(
     def body(carry, _):
         return (
             _batched_substep(
-                model, params, anc_mask, use_pallas, carry, target_q, mu
+                model, params, anc_mask, terrain, use_pallas, carry,
+                target_q, mu
             ),
             None,
         )
@@ -261,7 +278,7 @@ def control_step(
 
 
 def make_batched_step(model: RobotModel, params: EngineParams,
-                      num_envs: int = 0):
+                      num_envs: int = 0, terrain: Terrain = None):
     """Returns step(batched SimState, targets (N, nj), mu (N,)) -> SimState.
 
     Uses the Pallas contact kernel on TPU when the local env count is a
@@ -271,12 +288,13 @@ def make_batched_step(model: RobotModel, params: EngineParams,
     from cat_tpu.ops.pgs_pallas import TILE_N
 
     anc_mask = model.ancestor_mask()
+    terrain = terrain if terrain is not None else plane()
     use_pallas = (
         jax.default_backend() == "tpu" and num_envs > 0
         and num_envs % TILE_N == 0
     )
     return functools.partial(
-        control_step, model, params, anc_mask, use_pallas
+        control_step, model, params, anc_mask, terrain, use_pallas
     )
 
 

@@ -47,6 +47,27 @@ def _register_builtin():
             description="Solo12 flat-terrain CaT velocity tracking (train)",
         ),
     )
+    from cat_tpu.tasks import solo12_rough
+
+    register(
+        "Solo12-CaT-Rough-v0",
+        TaskSpec(
+            make_env=lambda num_envs=4096: solo12_rough.make_env(num_envs),
+            make_agent_cfg=PpoCfg,
+            description="Solo12 rough-terrain CaT (heightfield + height scan"
+                        " + terrain curriculum)",
+        ),
+    )
+    register(
+        "Solo12-CaT-Rough-Play-v0",
+        TaskSpec(
+            make_env=lambda num_envs=50: solo12_rough.make_env(
+                num_envs, play=True
+            ),
+            make_agent_cfg=PpoCfg,
+            description="Solo12 rough-terrain CaT (50 envs, no noise)",
+        ),
+    )
     register(
         "Solo12-CaT-Flat-Play-v0",
         TaskSpec(

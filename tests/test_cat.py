@@ -14,7 +14,7 @@ def _probe(n, nj=2):
     return StepData(
         joint_pos=z((n, nj)), joint_vel=z((n, nj)), joint_acc=z((n, nj)),
         applied_torque=z((n, nj)), default_joint_pos=z((nj,)),
-        base_pos=z((n, 3)), base_lin_vel_b=z((n, 3)), base_ang_vel_b=z((n, 3)),
+        base_pos=z((n, 3)), base_yaw=z((n,)), base_lin_vel_b=z((n, 3)), base_ang_vel_b=z((n, 3)),
         projected_gravity=z((n, 3)), command=z((n, 3)),
         action=z((n, nj)), prev_action=z((n, nj)),
         force_hist=z((n, 3, 1, 3)), touchdown=z((n, 1), dtype=bool),

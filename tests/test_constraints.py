@@ -14,7 +14,7 @@ def _data(**kw):
     base = dict(
         joint_pos=z((n, nj)), joint_vel=z((n, nj)), joint_acc=z((n, nj)),
         applied_torque=z((n, nj)), default_joint_pos=z((nj,)),
-        base_pos=z((n, 3)), base_lin_vel_b=z((n, 3)), base_ang_vel_b=z((n, 3)),
+        base_pos=z((n, 3)), base_yaw=z((n,)), base_lin_vel_b=z((n, 3)), base_ang_vel_b=z((n, 3)),
         projected_gravity=jnp.tile(jnp.array([0.0, 0.0, -1.0]), (n, 1)),
         command=z((n, 3)), action=z((n, nj)), prev_action=z((n, nj)),
         force_hist=z((n, 3, nr, 3)), touchdown=z((n, nf), dtype=bool),
