@@ -31,10 +31,32 @@ def _flatten_mlp(params: dict, net: str):
     return layers
 
 
+def _flatten_actor(params: dict):
+    """Actor path as [(W, b), ...] for either network layout: separate
+    actor/critic (networks.ActorCritic) or the skrl-style shared trunk +
+    policy_head (networks.SharedActorCritic)."""
+    p = params["params"]
+    if "actor" in p:
+        return _flatten_mlp(params, "actor")
+    layers = []
+    i = 0
+    while f"trunk_{i}" in p:
+        layers.append(
+            (np.asarray(p[f"trunk_{i}"]["kernel"]),
+             np.asarray(p[f"trunk_{i}"]["bias"]))
+        )
+        i += 1
+    layers.append(
+        (np.asarray(p["policy_head"]["kernel"]),
+         np.asarray(p["policy_head"]["bias"]))
+    )
+    return layers
+
+
 def export_policy(ppo, ts, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     params = jax.device_get(ts.params)
-    actor = _flatten_mlp(params, "actor")
+    actor = _flatten_actor(params)
     bundle = {
         "obs_mean": np.asarray(ts.obs_rms.mean),
         "obs_var": np.asarray(ts.obs_rms.var),

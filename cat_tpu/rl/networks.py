@@ -52,6 +52,41 @@ class ActorCritic(nn.Module):
         return mean, log_std, value[..., 0]
 
 
+class SharedActorCritic(nn.Module):
+    """Shared-trunk actor-critic (the skrl agent-cfg shape: one [512,256,128]
+    ELU net with a GaussianMixin policy head and a DeterministicMixin value
+    head over the same features — reference skrl_ppo_cfg.yaml:3-26,
+    runner.py:192-317 'shared model' path).
+    """
+    num_actions: int
+    hidden: Sequence[int] = (512, 256, 128)
+
+    @nn.compact
+    def __call__(self, obs):
+        x = obs
+        for i, h in enumerate(self.hidden):
+            x = nn.Dense(
+                h,
+                kernel_init=nn.initializers.orthogonal(np.sqrt(2)),
+                bias_init=nn.initializers.zeros,
+                name=f"trunk_{i}",
+            )(x)
+            x = nn.elu(x)
+        mean = nn.Dense(
+            self.num_actions,
+            kernel_init=nn.initializers.orthogonal(0.01),
+            bias_init=nn.initializers.zeros, name="policy_head",
+        )(x)
+        value = nn.Dense(
+            1, kernel_init=nn.initializers.orthogonal(1.0),
+            bias_init=nn.initializers.zeros, name="value_head",
+        )(x)
+        log_std = self.param(
+            "log_std", nn.initializers.zeros, (self.num_actions,)
+        )
+        return mean, log_std, value[..., 0]
+
+
 def sample_action(
     mean: jnp.ndarray, log_std: jnp.ndarray, key: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -37,7 +37,15 @@ from .normalize import RmsState, rms_init, rms_normalize, rms_update
 
 @dataclasses.dataclass(frozen=True)
 class PpoCfg:
-    """Hyperparameters (reference clean_rl_ppo_cfg.py:10-34)."""
+    """Hyperparameters (reference clean_rl_ppo_cfg.py:10-34).
+
+    The backend-variant knobs mirror the reference's other two RL stacks:
+    ``lr_mode="adaptive_kl"`` + ``kl_target`` is rl_games' AdaptiveScheduler
+    (rl_games_cat_solo.yaml:43-45) / skrl's KLAdaptiveLR (skrl_ppo_cfg.yaml:48),
+    ``value_bootstrap`` is rl_games' timeout bootstrap (cat_common.py:62-67),
+    and ``shared_model`` is skrl's single GaussianMixin+DeterministicMixin
+    network (skrl_ppo_cfg.yaml:3-26).
+    """
     learning_rate: float = 3.0e-4
     num_steps: int = 24
     num_iterations: int = 2000
@@ -51,9 +59,22 @@ class PpoCfg:
     max_grad_norm: float = 1.0
     norm_adv: bool = True
     clip_vloss: bool = True
-    anneal_lr: bool = True
+    anneal_lr: bool = True        # used when lr_mode="auto"
     save_interval: int = 50
     hidden: Tuple[int, ...] = (512, 256, 128)
+    # backend variants (C16-C21 parity)
+    lr_mode: str = "auto"         # auto | linear | constant | adaptive_kl
+    kl_target: float = 0.008      # rl_games kl .008 / skrl kl .01
+    lr_min: float = 1.0e-6        # AdaptiveScheduler bounds (rl_games defaults)
+    lr_max: float = 1.0e-2
+    value_bootstrap: bool = False
+    shared_model: bool = False
+
+    @property
+    def resolved_lr_mode(self) -> str:
+        if self.lr_mode == "auto":
+            return "linear" if self.anneal_lr else "constant"
+        return self.lr_mode
 
 
 class TrainState(NamedTuple):
@@ -62,6 +83,7 @@ class TrainState(NamedTuple):
     obs_rms: RmsState
     value_rms: RmsState
     iteration: jnp.ndarray        # () int32
+    lr: jnp.ndarray               # () current learning rate
     key: jnp.ndarray              # per-shard PRNG key
     # rollout carry (the "next_*" buffers of cleanrl/ppo.py:186-189)
     next_obs: jnp.ndarray         # (N, obs) normalized
@@ -78,16 +100,18 @@ class PPO:
         self.cfg = cfg
         self.axis_name = axis_name
         self.num_devices = num_devices  # static shard count of the env axis
-        self.net = networks.ActorCritic(env.num_actions, cfg.hidden)
-        sched = (
-            optax.linear_schedule(
-                cfg.learning_rate, 0.0, cfg.num_iterations
-            ) if cfg.anneal_lr else cfg.learning_rate
+        net_cls = (
+            networks.SharedActorCritic if cfg.shared_model
+            else networks.ActorCritic
         )
+        self.net = net_cls(env.num_actions, cfg.hidden)
+        # LR is applied manually from TrainState.lr: the linear anneal is
+        # per-ITERATION (cleanrl/ppo.py:196-199), not per optimizer step, and
+        # the adaptive-KL mode mutates lr per minibatch (rl_games
+        # AdaptiveScheduler), so a step-counted optax schedule fits neither.
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.scale_by_adam(eps=1e-5),
-            optax.scale_by_learning_rate(sched),
         )
 
     # ---------------- init ----------------
@@ -110,6 +134,7 @@ class PPO:
             obs_rms=obs_rms,
             value_rms=rms_init(()),
             iteration=jnp.zeros((), jnp.int32),
+            lr=jnp.asarray(self.cfg.learning_rate, jnp.float32),
             key=k_run,
             next_obs=rms_normalize(obs_rms, first_obs_raw),
             next_done=jnp.zeros(n),
@@ -130,6 +155,18 @@ class PPO:
         if ax is not None:
             base_key = jax.random.fold_in(base_key, jax.lax.axis_index(ax))
 
+        # per-iteration learning rate (cleanrl/ppo.py:196-199); adaptive-KL
+        # mode instead carries lr across iterations and mutates it per
+        # minibatch below (rl_games AdaptiveScheduler / skrl KLAdaptiveLR).
+        mode = cfg.resolved_lr_mode
+        if mode == "linear":
+            frac = 1.0 - ts.iteration.astype(jnp.float32) / cfg.num_iterations
+            lr = cfg.learning_rate * jnp.maximum(frac, 0.0)
+        elif mode == "constant":
+            lr = jnp.asarray(cfg.learning_rate, jnp.float32)
+        else:
+            lr = ts.lr
+
         # ---- rollout (HOT LOOP #1, cleanrl/ppo.py:201-230) ----
         def rollout_step(carry, _):
             ts_obs, ts_done, ts_tdone, obs_rms, es, key = carry
@@ -139,6 +176,13 @@ class PPO:
             es2, next_obs_raw, reward, done, time_out = self.env.step(
                 es, action, axis_name=ax
             )
+            if cfg.value_bootstrap:
+                # rl_games timeout bootstrap (cat_common.py:62-67):
+                # r += gamma * V(s_t) on truncation, so cut-off episodes
+                # don't look like zero-future-return.
+                reward = reward + (
+                    cfg.gamma * value * time_out.astype(reward.dtype)
+                )
             obs_rms2 = rms_update(obs_rms, next_obs_raw, ax)
             next_obs = rms_normalize(obs_rms2, next_obs_raw)
             out = (ts_obs, action, logp, value, reward, ts_done, ts_tdone)
@@ -235,7 +279,7 @@ class PPO:
             return total, (pg_loss, v_loss, ent_loss, approx_kl, clipfrac)
 
         def sgd_step(carry, mb_idx):
-            params, opt_state, perm_data = carry
+            params, opt_state, lr, perm_data = carry
             mb = jax.tree.map(
                 lambda x: jax.lax.dynamic_slice_in_dim(
                     x, mb_idx * mb_size, mb_size, axis=0
@@ -248,24 +292,38 @@ class PPO:
             if ax is not None:
                 grads = jax.lax.pmean(grads, ax)
             updates, opt_state = self.tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, perm_data), (loss,) + aux
+            if mode == "adaptive_kl":
+                # rl_games AdaptiveScheduler.update (per minibatch, on the
+                # pmean'd KL — mirroring skrl's KL all_reduce, ppo.py:562-564)
+                kl = aux[3]
+                lr = jnp.where(
+                    kl > 2.0 * cfg.kl_target,
+                    jnp.maximum(lr / 1.5, cfg.lr_min),
+                    jnp.where(
+                        kl < 0.5 * cfg.kl_target,
+                        jnp.minimum(lr * 1.5, cfg.lr_max),
+                        lr,
+                    ),
+                )
+            return (params, opt_state, lr, perm_data), (loss,) + aux
 
         def epoch_step(carry, k_epoch):
-            params, opt_state = carry
+            params, opt_state, lr = carry
             perm = jax.random.permutation(k_epoch, nb)
             data = (b_obs, b_actions, b_logprobs, b_adv, b_returns, b_vals)
             perm_data = jax.tree.map(lambda x: x[perm], data)
-            (params, opt_state, _), stats = jax.lax.scan(
-                sgd_step, (params, opt_state, perm_data),
+            (params, opt_state, lr, _), stats = jax.lax.scan(
+                sgd_step, (params, opt_state, lr, perm_data),
                 jnp.arange(n_minibatches),
             )
-            return (params, opt_state), stats
+            return (params, opt_state, lr), stats
 
         key, k_perm = jax.random.split(key)
         epoch_keys = jax.random.split(k_perm, cfg.updates_epochs)
-        (params, opt_state), stats = jax.lax.scan(
-            epoch_step, (ts.params, ts.opt_state), epoch_keys
+        (params, opt_state, lr), stats = jax.lax.scan(
+            epoch_step, (ts.params, ts.opt_state, lr), epoch_keys
         )
         loss, pg_loss, v_loss, ent_loss, approx_kl, clipfrac = (
             jax.tree.map(jnp.mean, stats)
@@ -292,10 +350,12 @@ class PPO:
             **ep_metrics,
         }
 
+        metrics["Train/learning_rate"] = lr
+
         new_ts = TrainState(
             params=params, opt_state=opt_state,
             obs_rms=obs_rms, value_rms=value_rms,
-            iteration=ts.iteration + 1, key=next_ts_key,
+            iteration=ts.iteration + 1, lr=lr, key=next_ts_key,
             next_obs=next_obs, next_done=next_done,
             next_true_done=next_tdone,
         )

@@ -23,6 +23,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--task", default="Solo12-CaT-Flat-v0")
+    p.add_argument(
+        "--agent", default="clean_rl",
+        choices=["clean_rl", "rl_games", "skrl"],
+        help="RL backend recipe (reference solo12/__init__.py:20-25 "
+             "registers one agent cfg per backend)",
+    )
     p.add_argument("--num_envs", type=int, default=None)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--max_iterations", type=int, default=None)
@@ -48,7 +54,13 @@ def main():
     from cat_tpu.utils.logging import MetricLogger
 
     spec = registry.get(args.task)
-    agent_cfg = spec.make_agent_cfg()
+    if args.agent == "clean_rl":
+        agent_cfg = spec.make_agent_cfg()
+    else:
+        from cat_tpu.rl import agent_cfgs
+
+        kw = {"num_envs": args.num_envs or 4096} if args.agent == "skrl" else {}
+        agent_cfg = agent_cfgs.get(args.agent, **kw)
     for ov in args.override:
         k, v = ov.split("=", 1)
         field_type = type(getattr(agent_cfg, k))
@@ -65,11 +77,12 @@ def main():
     env = spec.make_env(num_envs=num_envs)
 
     run_name = args.run_name or time.strftime("%Y-%m-%d_%H-%M-%S")
-    run_path = os.path.join(args.logdir, "cat_tpu", "solo12_flat", run_name)
+    run_path = os.path.join(args.logdir, args.agent, args.task, run_name)
     os.makedirs(run_path, exist_ok=True)
     with open(os.path.join(run_path, "config.json"), "w") as f:
         json.dump(
-            {"task": args.task, "num_envs": num_envs, "seed": args.seed,
+            {"task": args.task, "agent": args.agent,
+             "num_envs": num_envs, "seed": args.seed,
              "agent_cfg": dataclasses.asdict(agent_cfg),
              "env_cfg": dataclasses.asdict(env.cfg),
              "devices": mesh.size},

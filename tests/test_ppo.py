@@ -136,3 +136,47 @@ def test_multichip_shard_map():
     # env state sharded over devices
     q = es.sim.qpos
     assert len(q.addressable_shards) == ndev
+
+
+def test_backend_agent_cfgs():
+    """Backend presets mirror the reference yaml recipes (rl_games_cat_solo.
+    yaml, skrl_ppo_cfg.yaml)."""
+    from cat_tpu.rl import agent_cfgs
+
+    rg = agent_cfgs.get("rl_games")
+    assert rg.resolved_lr_mode == "adaptive_kl"
+    assert rg.kl_target == 0.008 and rg.value_bootstrap and not rg.shared_model
+    sk = agent_cfgs.get("skrl", num_envs=4096)
+    assert sk.shared_model and sk.kl_target == 0.01
+    assert sk.minibatch_size == 4096 * 24 // 4
+    assert sk.learning_rate == 1e-3 and sk.ent_coef == 0.005
+    cl = agent_cfgs.get("clean_rl")
+    assert cl.resolved_lr_mode == "linear" and cl.minibatch_size == 16384
+
+
+@pytest.mark.slow
+def test_train_iteration_backend_variants():
+    """One iteration each under the rl_games-style (adaptive-KL LR + value
+    bootstrap) and skrl-style (shared trunk) variants: finite losses, lr
+    stays within AdaptiveScheduler bounds, params update."""
+    n = 8
+    env = _small_env(n)
+    base = _small_cfg(n)
+    for variant in (
+        dataclasses.replace(base, lr_mode="adaptive_kl", kl_target=0.008,
+                            value_bootstrap=True),
+        dataclasses.replace(base, shared_model=True,
+                            lr_mode="adaptive_kl", kl_target=0.01),
+    ):
+        ppo = PPO(env, variant)
+        es = env.init(jax.random.PRNGKey(0), n)
+        obs = jax.jit(env.observe)(es)
+        ts = ppo.init(jax.random.PRNGKey(1), es, obs)
+        fn = jax.jit(ppo.train_iteration)
+        p0 = jax.tree_util.tree_leaves(ts.params)[0].copy()
+        ts, es, metrics = fn(ts, es)
+        assert np.isfinite(float(metrics["Loss/mean_surrogate_loss"]))
+        lr = float(ts.lr)
+        assert variant.lr_min <= lr <= variant.lr_max
+        p1 = jax.tree_util.tree_leaves(ts.params)[0]
+        assert not np.allclose(np.array(p0), np.array(p1))
