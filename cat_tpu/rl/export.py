@@ -7,6 +7,8 @@ Artifacts:
   * ``policy.onnx`` — ONNX graph (obs_rms folded in, deterministic mean
     action, like the reference's Agent.forward export) via torch, which is
     baked into the image CPU-only. Skipped gracefully if torch is absent.
+  * ``policy.pt`` — TorchScript trace of the same module (reference
+    clean_rl/play.py:136-138 exports both formats).
 """
 
 from __future__ import annotations
@@ -69,12 +71,12 @@ def export_policy(ppo, ts, out_dir: str) -> None:
     print(f"wrote {out_dir}/policy_params.npz")
 
     try:
-        _export_onnx(bundle, len(actor), out_dir)
+        _export_torch(bundle, len(actor), out_dir)
     except Exception as e:  # torch optional
-        print(f"ONNX export skipped: {e}")
+        print(f"TorchScript/ONNX export skipped: {e}")
 
 
-def _export_onnx(bundle: dict, n_layers: int, out_dir: str) -> None:
+def _export_torch(bundle: dict, n_layers: int, out_dir: str) -> None:
     import torch
 
     class Policy(torch.nn.Module):
@@ -110,9 +112,18 @@ def _export_onnx(bundle: dict, n_layers: int, out_dir: str) -> None:
 
     model = Policy().eval()
     dummy = torch.zeros(1, bundle["obs_mean"].shape[0])
-    path = os.path.join(out_dir, "policy.onnx")
-    torch.onnx.export(
-        model, dummy, path, input_names=["obs"], output_names=["action"],
-        opset_version=16, dynamo=False,
-    )
-    print(f"wrote {path}")
+
+    ts_path = os.path.join(out_dir, "policy.pt")
+    traced = torch.jit.trace(model, dummy)
+    traced.save(ts_path)
+    print(f"wrote {ts_path}")
+
+    try:
+        path = os.path.join(out_dir, "policy.onnx")
+        torch.onnx.export(
+            model, dummy, path, input_names=["obs"],
+            output_names=["action"], opset_version=16, dynamo=False,
+        )
+        print(f"wrote {path}")
+    except Exception as e:  # the `onnx` pip package is not in this image
+        print(f"ONNX export skipped: {e}")
