@@ -76,6 +76,24 @@ def _register_builtin():
             description="Solo12 flat-terrain CaT (50 envs, no noise)",
         ),
     )
+    from cat_tpu.tasks import go2_flat
+
+    register(
+        "Go2-CaT-Flat-v0",
+        TaskSpec(
+            make_env=lambda num_envs=4096: go2_flat.make_env(num_envs),
+            make_agent_cfg=PpoCfg,
+            description="Go2-class quadruped flat-terrain CaT (train)",
+        ),
+    )
+    register(
+        "Go2-CaT-Flat-Play-v0",
+        TaskSpec(
+            make_env=lambda num_envs=50: go2_flat.make_env(num_envs, play=True),
+            make_agent_cfg=PpoCfg,
+            description="Go2-class quadruped flat-terrain CaT (50 envs, no noise)",
+        ),
+    )
 
 
 _register_builtin()
