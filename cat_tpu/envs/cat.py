@@ -68,11 +68,37 @@ class ConstraintSet:
     def n_terms(self) -> int:
         return len(self.terms)
 
+    def table(self) -> str:
+        """Startup dump of the resolved constraint terms (the reference's
+        PrettyTable __str__, constraint_manager.py:153-184)."""
+        rows = [("Index", "Name", "max_p", "Curriculum", "Columns")]
+        for i, (t, (a, b)) in enumerate(zip(self.terms, self.slices)):
+            rows.append((str(i), t.name, f"{t.max_p:g}",
+                         "yes" if t.curriculum else "no", str(b - a)))
+        widths = [max(len(r[c]) for r in rows) for c in range(5)]
+        sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+        out = [f"Active Constraint Terms (shown in order of calculation):",
+               sep]
+        for j, r in enumerate(rows):
+            out.append(
+                "| " + " | ".join(v.ljust(w) for v, w in zip(r, widths)) + " |"
+            )
+            if j == 0:
+                out.append(sep)
+        out.append(sep)
+        return "\n".join(out)
+
     def init_max_p(self) -> jnp.ndarray:
         return jnp.array([t.max_p for t in self.terms], dtype=jnp.float32)
 
     def init_running_max(self) -> jnp.ndarray:
-        return jnp.full((self.total_cols,), 1e-6, dtype=jnp.float32)
+        # -1 is a sentinel: any column still negative gets seeded with the
+        # first observed cross-env max instead of polyak-blending from
+        # scratch (constraint_manager.py:58-61 initializes running_maxes on
+        # first sight). Keying the seed on the state itself (not on
+        # common_step) keeps re-seeding correct for any fresh EnvState,
+        # e.g. an eval env created mid-training.
+        return jnp.full((self.total_cols,), -1.0, dtype=jnp.float32)
 
     def compute(
         self,
@@ -80,7 +106,6 @@ class ConstraintSet:
         running_max: jnp.ndarray,      # (Ktot,)
         max_p: jnp.ndarray,            # (n_terms,)
         axis_name: Optional[str] = None,
-        first_step: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Returns (cstr_prob (N,), new_running_max, term_max_probs (N, n_terms),
         raw_violating (N, n_terms) bool)."""
@@ -91,11 +116,11 @@ class ConstraintSet:
         if axis_name is not None:
             cmax = jax.lax.pmax(cmax, axis_name)          # cross-chip
         cmax = jnp.maximum(cmax, 1e-6)
-        new_rmax = TAU * running_max + (1.0 - TAU) * cmax
-        if first_step is not None:
-            # the reference seeds the running max with the first observed max
-            # rather than polyak-blending from scratch (constraint_manager.py:58-61)
-            new_rmax = jnp.where(first_step, cmax, new_rmax)
+        # seed unseeded columns (sentinel < 0) with the first observed max,
+        # polyak-blend otherwise (constraint_manager.py:58-61)
+        new_rmax = jnp.where(
+            running_max < 0.0, cmax, TAU * running_max + (1.0 - TAU) * cmax
+        )
 
         # per-column max_p broadcast from per-term values
         col_max_p = jnp.concatenate(

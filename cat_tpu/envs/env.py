@@ -66,11 +66,21 @@ class CommandsCfg:
 class EventsCfg:
     """Domain randomization (cat_flat_env_cfg.py:182-239, mdp/events.py)."""
     friction_range: Tuple[float, float] = (0.5, 1.25)   # startup, per env
+    # friction is drawn from `friction_num_buckets` discrete values sampled
+    # once from the range (randomize_rigid_body_material num_buckets=100,
+    # cat_flat_env_cfg.py:186-196); 0 = continuous per-env sampling
+    friction_num_buckets: int = 100
     reset_pose_xy: float = 0.05
     reset_yaw: float = 1.57
     reset_joint_scale: Tuple[float, float] = (0.95, 1.05)
     push_vel_xy: float = 0.5
     push_enabled: bool = True
+    # randomize_body_coms startup event (reference events.py:20-56): each
+    # body's CoM is shifted by U(-d, d)^3 in its body frame, per env. The
+    # Solo12 flat recipe does not enable it (not in its EventCfg), so the
+    # default is 0 (off); set >0 for DR-parity experiments.
+    com_displacement: float = 0.0
+    com_bodies: Tuple[str, ...] = (".*",)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -279,11 +289,35 @@ class CatEnv:
     def init(self, key: jnp.ndarray, num_envs: Optional[int] = None) -> EnvState:
         n = num_envs or self.cfg.num_envs
         nj = self.model.nj
-        k_seed, k_mu, k_cmd, k_rst, k_lvl = jax.random.split(key, 5)
+        ev = self.cfg.events
+        k_seed, k_mu, k_cmd, k_rst, k_lvl, k_com = jax.random.split(key, 6)
         seed = jax.random.bits(k_seed, (n,), jnp.uint32)
         # startup friction randomization (physics_material event,
-        # cat_flat_env_cfg.py:186-196; terrain friction 1.0, multiply-combine)
-        mu = _uniform(k_mu, (n,), *self.cfg.events.friction_range)
+        # cat_flat_env_cfg.py:186-196; terrain friction 1.0, multiply-combine).
+        # PhysX shares materials through `num_buckets` discrete values; we
+        # reproduce that by sampling the bucket table then assigning each env
+        # a random bucket.
+        if ev.friction_num_buckets > 0:
+            kb, ka = jax.random.split(k_mu)
+            buckets = _uniform(
+                kb, (ev.friction_num_buckets,), *ev.friction_range
+            )
+            mu = buckets[
+                jax.random.randint(ka, (n,), 0, ev.friction_num_buckets)
+            ]
+        else:
+            mu = _uniform(k_mu, (n,), *ev.friction_range)
+        # randomize_body_coms startup event (events.py:20-56)
+        if ev.com_displacement > 0.0:
+            body_ids = resolve_names(list(ev.com_bodies), self.model.body_names)
+            mask = np.zeros((self.model.nbody, 1), dtype=np.float32)
+            mask[body_ids] = 1.0
+            com_offset = _uniform(
+                k_com, (n, self.model.nbody, 3),
+                -ev.com_displacement, ev.com_displacement,
+            ) * jnp.asarray(mask)[None]
+        else:
+            com_offset = jnp.zeros((n, self.model.nbody, 3))
         cmd = self._sample_commands(k_cmd, n)
         nt = self.cset.n_terms
         # terrain patch assignment (curriculum spawning; flat -> all zeros)
@@ -304,7 +338,7 @@ class CatEnv:
             episode_len=jnp.zeros(n, dtype=jnp.int32),
             command=cmd,
             command_time_left=jnp.full(n, self.cfg.commands.resampling_time),
-            mu=mu,
+            mu=mu, com_offset=com_offset,
             running_max=self.cset.init_running_max(),
             max_p=self.cset.init_max_p(),
             episode_viol=jnp.zeros((n, nt)), episode_prob=jnp.zeros((n, nt)),
@@ -341,10 +375,14 @@ class CatEnv:
                    origin: jnp.ndarray) -> SimState:
         """Fresh randomized sim states for ALL envs (masked-selected later).
 
-        Events: reset_root_state_uniform (pose x/y +-0.05, yaw +-1.57) and
-        reset_joints_by_scale (q = default * U(0.95, 1.05), qd = 0)
-        (cat_flat_env_cfg.py:198-225). Spawn is at the env's terrain-patch
-        origin (flat: world origin).
+        Events: reset_root_state_uniform (pose x/y +-0.05, yaw +-1.57,
+        velocity_range all zero) and reset_joints_by_scale
+        (q = default * U(0.95, 1.05), qd = default_qd * U(-0.05, 0.05))
+        (cat_flat_env_cfg.py:198-225). NOTE reset_joints_by_scale SCALES the
+        default joint velocity — which is 0 for Solo12
+        (odri.py init_state joint_vel={".*": 0.0}) — so qd = 0 at reset is
+        exact reference parity, not a deviation. Spawn is at the env's
+        terrain-patch origin (flat: world origin).
         """
         model, ev = self.model, self.cfg.events
         nj = model.nj
@@ -399,7 +437,10 @@ class CatEnv:
         target_model = target_task[:, self.m2t]   # task order -> model order
 
         # 2. physics (cat_env.py:71-88)
-        sim = self._engine_step(state.sim, target_model, state.mu)
+        com_offset = (
+            state.com_offset if cfg.events.com_displacement > 0.0 else None
+        )
+        sim = self._engine_step(state.sim, target_model, state.mu, com_offset)
 
         # 3. counters
         episode_len = state.episode_len + 1
@@ -427,7 +468,6 @@ class CatEnv:
         )
         cstr_prob, running_max, term_probs, viol = self.cset.compute(
             data, state.running_max, max_p, axis_name=axis_name,
-            first_step=common_step <= 1,
         )
         rw = cfg.rewards
         lin_err = jnp.sum(
@@ -527,6 +567,7 @@ class CatEnv:
             sim=sim, action=action, prev_action=prev_action,
             episode_len=episode_len, command=command,
             command_time_left=time_left, mu=state.mu,
+            com_offset=state.com_offset,
             origin=origin, terrain_row=trow, terrain_col=tcol,
             running_max=running_max, max_p=max_p,
             episode_viol=episode_viol, episode_prob=episode_prob,

@@ -67,3 +67,7 @@ class EnvState(NamedTuple):
     acc_rew: jnp.ndarray             # () sum of episode rewards
     acc_len: jnp.ndarray             # () sum of episode lengths
     acc_count: jnp.ndarray           # () number of finished episodes
+    # Trailing defaulted fields: new state added after round 1 stays at the
+    # END with a default so round-1 checkpoints (pickled NamedTuples) still
+    # unpickle; checkpoint.restore fills None from the caller's template.
+    com_offset: jnp.ndarray = None   # (N, nbody, 3) body-frame CoM shift (DR)

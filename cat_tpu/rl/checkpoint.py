@@ -29,15 +29,72 @@ def save(path: str, ts, es) -> str:
     return out
 
 
-def restore(path: str, ts_template, es_template) -> Tuple:
-    """Load a checkpoint into the given templates (shapes must match)."""
+def restore(path: str, ts_template, es_template, strict: bool = True) -> Tuple:
+    """Load a checkpoint into the given templates, with validation.
+
+    * Fields that are None in the loaded state (trailing defaulted fields
+      added after the checkpoint was written) are filled from the template.
+    * Tree structure and every leaf's shape/dtype are validated against the
+      templates so a mismatched checkpoint fails HERE with a named path,
+      not later with an opaque XLA error.
+    * strict=False: leaves whose shape differs from the template keep the
+      TEMPLATE value instead of erroring — for loading a training
+      checkpoint into a differently-sized eval env (play.py), where only
+      the env-size-independent leaves (params, normalizers) matter.
+    """
     if not path.endswith(".pkl"):
         path = path + ".pkl"
     with open(path, "rb") as f:
         ts, es = pickle.load(f)
-    # structural check against the templates
-    jax.tree_util.tree_structure((ts_template, es_template))
+    es = _fill_defaults(es, es_template)
+    ts = _fill_defaults(ts, ts_template)
+
+    tmpl_struct = jax.tree_util.tree_structure((ts_template, es_template))
+    got_struct = jax.tree_util.tree_structure((ts, es))
+    if tmpl_struct != got_struct:
+        raise ValueError(
+            f"checkpoint {path} tree structure does not match the current "
+            f"TrainState/EnvState schema:\n  expected {tmpl_struct}\n  "
+            f"got      {got_struct}"
+        )
+    tmpl_leaves = jax.tree_util.tree_leaves_with_path(
+        (ts_template, es_template)
+    )
+    got_leaves = jax.tree_util.tree_leaves((ts, es))
+    out_leaves = []
+    dropped = []
+    for (kp, want), got in zip(tmpl_leaves, got_leaves):
+        w_shape = np.shape(want)
+        g_shape = np.shape(got)
+        if w_shape != g_shape:
+            if strict:
+                raise ValueError(
+                    f"checkpoint {path}: leaf {jax.tree_util.keystr(kp)} "
+                    f"has shape {g_shape}, expected {w_shape} (different "
+                    f"num_envs or model?)"
+                )
+            dropped.append(jax.tree_util.keystr(kp))
+            out_leaves.append(want)
+        else:
+            out_leaves.append(got)
+    if dropped:
+        print(f"restore(strict=False): kept template values for "
+              f"{len(dropped)} size-mismatched leaves (e.g. {dropped[0]})")
+        treedef = jax.tree_util.tree_structure((ts, es))
+        ts, es = jax.tree_util.tree_unflatten(treedef, out_leaves)
     return ts, es
+
+
+def _fill_defaults(loaded, template):
+    """Replace None fields of a loaded NamedTuple with template values
+    (schema evolution: trailing defaulted fields)."""
+    if not (hasattr(loaded, "_fields") and hasattr(template, "_fields")):
+        return loaded
+    updates = {}
+    for f in loaded._fields:
+        if getattr(loaded, f) is None and getattr(template, f) is not None:
+            updates[f] = getattr(template, f)
+    return loaded._replace(**updates) if updates else loaded
 
 
 def latest(run_dir: str) -> str:

@@ -60,8 +60,15 @@ class Kin(NamedTuple):
 
 
 @f32_matmuls
-def fk(model: RobotModel, qpos: jnp.ndarray, qvel: jnp.ndarray) -> Kin:
-    """Forward position + velocity kinematics (single env)."""
+def fk(model: RobotModel, qpos: jnp.ndarray, qvel: jnp.ndarray,
+       com_offset: jnp.ndarray = None) -> Kin:
+    """Forward position + velocity kinematics (single env).
+
+    com_offset: optional (nbody, 3) body-frame CoM displacement (the
+    randomize_body_coms domain-randomization event, reference
+    events.py:20-56 — PhysX set_coms shifts the CoM without touching the
+    inertia tensor about the CoM, and so do we).
+    """
     nb = model.nbody
     base_quat = qpos[3:7]
     R0 = quat_to_mat(base_quat)
@@ -102,7 +109,10 @@ def fk(model: RobotModel, qpos: jnp.ndarray, qvel: jnp.ndarray) -> Kin:
 
     R = jnp.stack(Rs)
     o = jnp.stack(os_)
-    x_com = o + jnp.einsum("bij,bj->bi", R, jnp.asarray(model.com))
+    com = jnp.asarray(model.com)
+    if com_offset is not None:
+        com = com + com_offset
+    x_com = o + jnp.einsum("bij,bj->bi", R, com)
     return Kin(
         R=R, o=o,
         omega=jnp.stack(omegas), v_o=jnp.stack(vs),

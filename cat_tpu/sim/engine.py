@@ -89,10 +89,12 @@ def init_state(model: RobotModel, qpos=None, qvel=None) -> SimState:
 def _substep_pre(
     model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
     terrain: Terrain,
-    s: SimState, target_q: jnp.ndarray,
+    s: SimState, target_q: jnp.ndarray, com_offset: jnp.ndarray = None,
 ):
     """Actuation + dynamics + collision up to the contact problem (single env).
 
+    com_offset: optional (nbody, 3) per-env CoM displacement (the
+    randomize_body_coms startup event, reference events.py:20-56).
     Returns (tau_j, v_free, E, minvEt, b, phi, frame).
     """
     h = params.dt
@@ -108,7 +110,7 @@ def _substep_pre(
     tau = jnp.concatenate([jnp.zeros(6), tau_j])
 
     # 2. dynamics
-    kin = dynamics.fk(model, s.qpos, s.qvel)
+    kin = dynamics.fk(model, s.qpos, s.qvel, com_offset)
     jacs = dynamics.body_jacobians(model, kin, anc_mask)
     I_w = dynamics.world_inertias(model, kin)
     M = dynamics.mass_matrix(model, jacs, I_w)
@@ -208,10 +210,11 @@ def _substep(
     model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
     terrain: Terrain,
     s: SimState, target_q: jnp.ndarray, mu: jnp.ndarray,
+    com_offset: jnp.ndarray = None,
 ) -> SimState:
     """Single-env substep with the XLA solver (CPU/test path)."""
     tau_j, v_free, E, minvEt, b, phi, frame = _substep_pre(
-        model, params, anc_mask, terrain, s, target_q
+        model, params, anc_mask, terrain, s, target_q, com_offset
     )
     A = E @ minvEt
     lam = solver.pgs_solve(
@@ -223,20 +226,24 @@ def _substep(
 def _batched_substep(
     model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
     terrain: Terrain, use_pallas: bool,
-    s: SimState, target_q: jnp.ndarray, mu: jnp.ndarray,
+    s: jnp.ndarray, target_q: jnp.ndarray, mu: jnp.ndarray,
+    com_offset: jnp.ndarray = None,
 ) -> SimState:
     """Batched substep; contact solve via the Pallas kernel on TPU."""
+    f_sub = functools.partial(_substep, model, params, anc_mask, terrain)
+    f_pre = functools.partial(_substep_pre, model, params, anc_mask, terrain)
     if not use_pallas:
-        return jax.vmap(
-            functools.partial(_substep, model, params, anc_mask, terrain)
-        )(s, target_q, mu)
+        if com_offset is None:
+            return jax.vmap(lambda a, b, c: f_sub(a, b, c))(s, target_q, mu)
+        return jax.vmap(f_sub)(s, target_q, mu, com_offset)
 
     from cat_tpu.ops import pgs_pallas
 
     sp = params.solver
-    pre = jax.vmap(
-        functools.partial(_substep_pre, model, params, anc_mask, terrain)
-    )(s, target_q)
+    if com_offset is None:
+        pre = jax.vmap(lambda a, b: f_pre(a, b))(s, target_q)
+    else:
+        pre = jax.vmap(f_pre)(s, target_q, com_offset)
     tau_j, v_free, E, minvEt, b, phi, frame = pre
     bias = (sp.erp / params.dt) * jnp.minimum(phi + sp.slop, 0.0)
     active = (phi < sp.margin).astype(jnp.float32)
@@ -255,6 +262,7 @@ def control_step(
     model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
     terrain: Terrain, use_pallas: bool,
     s: SimState, target_q: jnp.ndarray, mu: jnp.ndarray,
+    com_offset: jnp.ndarray = None,
 ) -> SimState:
     """One 50 Hz control step = `decimation` physics substeps (BATCHED).
 
@@ -268,7 +276,7 @@ def control_step(
         return (
             _batched_substep(
                 model, params, anc_mask, terrain, use_pallas, carry,
-                target_q, mu
+                target_q, mu, com_offset
             ),
             None,
         )

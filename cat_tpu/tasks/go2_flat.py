@@ -76,7 +76,10 @@ def go2_constraint_terms(model) -> list[ConstraintTerm]:
     ]
 
 
-def make_env(num_envs: int = 4096, play: bool = False) -> CatEnv:
+def make_env(num_envs: int = 4096, play: bool = False,
+             overrides: tuple = ()) -> CatEnv:
+    from cat_tpu.utils.overrides import apply_overrides
+
     model = go2_model()
     cfg = EnvCfg(
         num_envs=(50 if play else num_envs),
@@ -87,6 +90,7 @@ def make_env(num_envs: int = 4096, play: bool = False) -> CatEnv:
     )
     if play:
         cfg = dataclasses.replace(cfg, noise=NoiseCfg(enabled=False))
+    cfg = apply_overrides(cfg, overrides)
     return CatEnv(
         model=model,
         cfg=cfg,

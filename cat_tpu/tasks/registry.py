@@ -42,7 +42,9 @@ def _register_builtin():
     register(
         "Solo12-CaT-Flat-v0",
         TaskSpec(
-            make_env=lambda num_envs=4096: solo12_flat.make_env(num_envs),
+            make_env=lambda num_envs=4096, **kw: solo12_flat.make_env(
+                num_envs, **kw
+            ),
             make_agent_cfg=PpoCfg,
             description="Solo12 flat-terrain CaT velocity tracking (train)",
         ),
@@ -52,7 +54,9 @@ def _register_builtin():
     register(
         "Solo12-CaT-Rough-v0",
         TaskSpec(
-            make_env=lambda num_envs=4096: solo12_rough.make_env(num_envs),
+            make_env=lambda num_envs=4096, **kw: solo12_rough.make_env(
+                num_envs, **kw
+            ),
             make_agent_cfg=PpoCfg,
             description="Solo12 rough-terrain CaT (heightfield + height scan"
                         " + terrain curriculum)",
@@ -61,8 +65,8 @@ def _register_builtin():
     register(
         "Solo12-CaT-Rough-Play-v0",
         TaskSpec(
-            make_env=lambda num_envs=50: solo12_rough.make_env(
-                num_envs, play=True
+            make_env=lambda num_envs=50, **kw: solo12_rough.make_env(
+                num_envs, play=True, **kw
             ),
             make_agent_cfg=PpoCfg,
             description="Solo12 rough-terrain CaT (50 envs, no noise)",
@@ -71,7 +75,9 @@ def _register_builtin():
     register(
         "Solo12-CaT-Flat-Play-v0",
         TaskSpec(
-            make_env=lambda num_envs=50: solo12_flat.make_env(num_envs, play=True),
+            make_env=lambda num_envs=50, **kw: solo12_flat.make_env(
+                num_envs, play=True, **kw
+            ),
             make_agent_cfg=PpoCfg,
             description="Solo12 flat-terrain CaT (50 envs, no noise)",
         ),
@@ -81,7 +87,9 @@ def _register_builtin():
     register(
         "Go2-CaT-Flat-v0",
         TaskSpec(
-            make_env=lambda num_envs=4096: go2_flat.make_env(num_envs),
+            make_env=lambda num_envs=4096, **kw: go2_flat.make_env(
+                num_envs, **kw
+            ),
             make_agent_cfg=PpoCfg,
             description="Go2-class quadruped flat-terrain CaT (train)",
         ),
@@ -89,7 +97,9 @@ def _register_builtin():
     register(
         "Go2-CaT-Flat-Play-v0",
         TaskSpec(
-            make_env=lambda num_envs=50: go2_flat.make_env(num_envs, play=True),
+            make_env=lambda num_envs=50, **kw: go2_flat.make_env(
+                num_envs, play=True, **kw
+            ),
             make_agent_cfg=PpoCfg,
             description="Go2-class quadruped flat-terrain CaT (50 envs, no noise)",
         ),

@@ -78,8 +78,15 @@ def solo12_constraint_terms(model) -> list[ConstraintTerm]:
     ]
 
 
-def make_env(num_envs: int = 4096, play: bool = False) -> CatEnv:
-    """Build the Solo12 flat CaT env (train or PLAY variant)."""
+def make_env(num_envs: int = 4096, play: bool = False,
+             overrides: tuple = ()) -> CatEnv:
+    """Build the Solo12 flat CaT env (train or PLAY variant).
+
+    overrides: dotted-path cfg overrides, e.g. "events.push_enabled=False"
+    (the hydra-CLI equivalent, cat_tpu/utils/overrides.py).
+    """
+    from cat_tpu.utils.overrides import apply_overrides
+
     model = solo12_model()
     cfg = EnvCfg(
         num_envs=(50 if play else num_envs),
@@ -87,6 +94,7 @@ def make_env(num_envs: int = 4096, play: bool = False) -> CatEnv:
     )
     if play:
         cfg = dataclasses.replace(cfg, noise=NoiseCfg(enabled=False))
+    cfg = apply_overrides(cfg, overrides)
     return CatEnv(
         model=model,
         cfg=cfg,

@@ -21,7 +21,10 @@ from cat_tpu.tasks.solo12_flat import solo12_constraint_terms
 
 
 def make_env(num_envs: int = 4096, play: bool = False,
-             rows: int = 10, cols: int = 8, seed: int = 0) -> CatEnv:
+             rows: int = 10, cols: int = 8, seed: int = 0,
+             overrides: tuple = ()) -> CatEnv:
+    from cat_tpu.utils.overrides import apply_overrides
+
     model = solo12_model()
     terr = terrain_mod.generate_rough(rows=rows, cols=cols, seed=seed)
     cfg = EnvCfg(
@@ -33,6 +36,7 @@ def make_env(num_envs: int = 4096, play: bool = False,
     )
     if play:
         cfg = dataclasses.replace(cfg, noise=NoiseCfg(enabled=False))
+    cfg = apply_overrides(cfg, overrides)
     return CatEnv(
         model=model,
         cfg=cfg,

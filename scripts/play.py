@@ -44,7 +44,9 @@ def main():
     first_obs = jax.jit(env.observe)(es)
     ts = ppo.init(jax.random.PRNGKey(1), es, first_obs)
     path = ckpt.latest(args.run_dir)
-    ts, _ = ckpt.restore(path, ts, es)
+    # non-strict: the training run's env count differs from the play env's;
+    # only the env-size-independent leaves (params, normalizers) are loaded
+    ts, _ = ckpt.restore(path, ts, es, strict=False)
     print(f"loaded {path}")
 
     out_dir = args.out or args.run_dir

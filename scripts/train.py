@@ -40,13 +40,18 @@ def parse_args():
         "--override", nargs="*", default=[],
         help="agent cfg overrides key=value (e.g. learning_rate=1e-4)",
     )
+    p.add_argument(
+        "--env_override", nargs="*", default=[],
+        help="env cfg dotted-path overrides (e.g. events.push_enabled=False"
+             " commands.lin_vel_x='(-0.5,1.0)')",
+    )
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
-    import jax.numpy as jnp
+    import numpy as np
 
     from cat_tpu.parallel import mesh as pmesh
     from cat_tpu.rl import checkpoint as ckpt
@@ -61,10 +66,9 @@ def main():
 
         kw = {"num_envs": args.num_envs or 4096} if args.agent == "skrl" else {}
         agent_cfg = agent_cfgs.get(args.agent, **kw)
-    for ov in args.override:
-        k, v = ov.split("=", 1)
-        field_type = type(getattr(agent_cfg, k))
-        agent_cfg = dataclasses.replace(agent_cfg, **{k: field_type(eval(v))})
+    from cat_tpu.utils.overrides import apply_overrides
+
+    agent_cfg = apply_overrides(agent_cfg, args.override)
     if args.max_iterations:
         agent_cfg = dataclasses.replace(
             agent_cfg, num_iterations=args.max_iterations
@@ -74,7 +78,10 @@ def main():
     mesh = pmesh.make_mesh(devices)
     num_envs = args.num_envs or 4096
     assert num_envs % mesh.size == 0
-    env = spec.make_env(num_envs=num_envs)
+    env = spec.make_env(num_envs=num_envs,
+                        overrides=tuple(args.env_override))
+    # startup constraint table (reference constraint_manager.py:153-184)
+    print(env.cset.table())
 
     run_name = args.run_name or time.strftime("%Y-%m-%d_%H-%M-%S")
     run_path = os.path.join(args.logdir, args.agent, args.task, run_name)
@@ -108,11 +115,26 @@ def main():
     steps_per_iter = agent_cfg.num_steps * num_envs
     t_start = time.time()
     start_iter = int(ts.iteration)
+    last_ckpt = args.checkpoint
     for it in range(start_iter + 1, agent_cfg.num_iterations + 1):
         t0 = time.perf_counter()
         ts, es, metrics = train_fn(ts, es)
         metrics = jax.device_get(metrics)
         dt = time.perf_counter() - t0
+        # NaN/divergence guard: a physics or SGD blow-up must not silently
+        # poison the params (the reference at least dies visibly; we abort
+        # with the resume command for the last good checkpoint).
+        loss_val = float(metrics["Loss/mean_surrogate_loss"])
+        if not (np.isfinite(loss_val)
+                and np.isfinite(metrics["Train/mean_reward_per_step"])):
+            bad = ckpt.save(os.path.join(run_path, f"ckpt_diverged_{it}"),
+                            ts, es)
+            print(f"FATAL: non-finite loss at iteration {it} "
+                  f"(loss={loss_val}); diverged state dumped to {bad}.")
+            if last_ckpt:
+                print(f"resume from the last good checkpoint with:\n"
+                      f"  --checkpoint {last_ckpt}")
+            sys.exit(1)
         metrics["Perf/env_steps_per_sec"] = steps_per_iter / dt
         metrics["Perf/iter_seconds"] = dt
         logger.log(metrics, it)
@@ -125,6 +147,7 @@ def main():
             )
         if it % agent_cfg.save_interval == 0:
             path = ckpt.save(os.path.join(run_path, f"ckpt_{it}"), ts, es)
+            last_ckpt = path
             print(f"saved {path}")
     ckpt.save(os.path.join(run_path, "ckpt_final"), ts, es)
     print(f"done in {time.time() - t_start:.0f}s; logs at {run_path}")

@@ -1,10 +1,12 @@
 """Offline trajectory visualizer (replaces the reference's RecordVideo/RTX
-rendering path, SURVEY.md §2.2 "Video recording": mp4 capture is not on the
-TPU training path; policies are visualized offline from logged qpos).
+rendering path, SURVEY.md §2.2 "Video recording": video capture is not on
+the TPU training path; policies are visualized offline from logged qpos).
 
 Reads play_traj.npz (written by scripts/play.py), reconstructs body/foot
-positions with the model's FK, and renders a matplotlib side/top view
-animation to MP4 (if ffmpeg is present) or a PNG contact/height strip chart.
+positions with the model's FK, and renders (a) a PNG strip chart of base
+height / foot heights / base xy, and (b) with --animate, a side-view
+stick-figure GIF of the gait (matplotlib pillow writer; this image has no
+ffmpeg, so GIF is the animation format).
 """
 
 from __future__ import annotations
@@ -23,6 +25,9 @@ def main():
     p.add_argument("--traj", required=True, help="play_traj.npz path")
     p.add_argument("--env", type=int, default=0, help="env index to render")
     p.add_argument("--out", default=None)
+    p.add_argument("--animate", action="store_true",
+                   help="also render a side-view stick-figure GIF")
+    p.add_argument("--fps", type=int, default=25)
     args = p.parse_args()
 
     import matplotlib
@@ -73,6 +78,38 @@ def main():
     )
     fig.savefig(out, dpi=120, bbox_inches="tight")
     print(f"wrote {out}")
+
+    if args.animate:
+        import matplotlib.animation as manim
+
+        parent = np.asarray(model.parent)
+        stride = max(1, T // 250)          # cap animation length
+        frames = range(0, T, stride)
+        body_o = np.stack(
+            [np.asarray(body_positions(jnp.asarray(qpos[f]))[0])
+             for f in frames]
+        )  # (F, nbody, 3)
+
+        figa, axa = plt.subplots(figsize=(6, 3.2), dpi=100)
+        axa.set_xlabel("x (m)"); axa.set_ylabel("z (m)")
+        axa.axhline(0.0, color="#52514e", lw=1)
+        segs = [axa.plot([], [], lw=2, color="#2a78d6")[0]
+                for _ in range(1, model.nbody)]
+        axa.set_ylim(-0.02, 0.45)
+
+        def draw(fi):
+            o = body_o[fi]
+            axa.set_xlim(o[0, 0] - 0.5, o[0, 0] + 0.5)
+            for b in range(1, model.nbody):
+                p_ = parent[b]
+                segs[b - 1].set_data([o[p_, 0], o[b, 0]],
+                                     [o[p_, 2], o[b, 2]])
+            return segs
+
+        anim = manim.FuncAnimation(figa, draw, frames=len(body_o))
+        gif = os.path.splitext(out)[0] + ".gif"
+        anim.save(gif, writer=manim.PillowWriter(fps=args.fps))
+        print(f"wrote {gif}")
 
 
 if __name__ == "__main__":

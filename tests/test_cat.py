@@ -37,7 +37,6 @@ def test_transform_basic():
     )
     p, rmax, term_probs, viol = cset.compute(
         data, cset.init_running_max(), cset.init_max_p(),
-        first_step=jnp.asarray(True),
     )
     # column maxes: [4.0, 0.5] -> running max seeded to those
     np.testing.assert_allclose(np.array(rmax), [4.0, 0.5], atol=1e-6)
@@ -57,7 +56,7 @@ def test_transform_polyak():
     rmax0 = jnp.array([4.0, 0.5])
     data = _probe(1)._replace(joint_vel=jnp.array([[2.0, -3.0]]))
     p, rmax, _, _ = cset.compute(
-        data, rmax0, cset.init_max_p(), first_step=jnp.asarray(False)
+        data, rmax0, cset.init_max_p()
     )
     expected = [0.95 * 4.0 + 0.05 * 2.0, 0.95 * 0.5 + 0.05 * 1e-6]
     np.testing.assert_allclose(np.array(rmax), expected, rtol=1e-6)
@@ -75,7 +74,6 @@ def test_max_over_terms():
     )
     p, _, term_probs, _ = cset.compute(
         data, cset.init_running_max(), cset.init_max_p(),
-        first_step=jnp.asarray(True),
     )
     # rmax per col: jv [1, 1e-6], tq [0.5, 1e-6]
     # env0: jv p=0.2 ; tq p=1.0 -> max 1.0 ; env1: nothing -> 0
