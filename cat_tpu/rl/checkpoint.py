@@ -17,10 +17,32 @@ import jax
 import numpy as np
 
 
-def save(path: str, ts, es) -> str:
-    """Serialize (TrainState, EnvState) to <path>.pkl (host numpy)."""
-    payload = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), (ts, es))
+def _to_host(x):
+    """Fetch a (possibly multi-process global) array to host numpy.
+
+    Env-sharded leaves in a multi-host run are not fully addressable;
+    allgather them (tiled: concatenated along the sharded axis). Replicated
+    leaves fetch directly.
+    """
+    if isinstance(x, jax.Array) and not (
+        x.is_fully_addressable or x.is_fully_replicated
+    ):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
+def save(path: str, ts, es, write: bool = True) -> str:
+    """Serialize (TrainState, EnvState) to <path>.pkl (host numpy).
+
+    Multi-host: every process participates in the allgather of sharded
+    leaves; only host 0 should write (pass write=jax.process_index()==0).
+    """
+    payload = jax.tree.map(_to_host, (ts, es))
     out = path + ".pkl"
+    if not write:
+        return out
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     tmp = out + ".tmp"
     with open(tmp, "wb") as f:
@@ -83,6 +105,52 @@ def restore(path: str, ts_template, es_template, strict: bool = True) -> Tuple:
         treedef = jax.tree_util.tree_structure((ts, es))
         ts, es = jax.tree_util.tree_unflatten(treedef, out_leaves)
     return ts, es
+
+
+def restore_local_shard(path: str, ts_template, es_template,
+                        process_id: int, num_processes: int) -> Tuple:
+    """Multi-host resume: load a (global) checkpoint and slice this
+    process's env rows out of every env-sharded leaf.
+
+    Templates are the HOST-LOCAL states (leading dim = local env count);
+    leaves whose stored leading dim is num_processes x the template's are
+    sliced, everything else is validated to match exactly.
+    """
+    if not path.endswith(".pkl"):
+        path = path + ".pkl"
+    with open(path, "rb") as f:
+        ts, es = pickle.load(f)
+    es = _fill_defaults(es, es_template)
+    ts = _fill_defaults(ts, ts_template)
+    tmpl_struct = jax.tree_util.tree_structure((ts_template, es_template))
+    got_struct = jax.tree_util.tree_structure((ts, es))
+    if tmpl_struct != got_struct:
+        raise ValueError(
+            f"checkpoint {path} tree structure does not match the current "
+            f"schema:\n  expected {tmpl_struct}\n  got {got_struct}"
+        )
+    tmpl_leaves = jax.tree_util.tree_leaves_with_path(
+        (ts_template, es_template)
+    )
+    got_leaves = jax.tree_util.tree_leaves((ts, es))
+    out = []
+    for (kp, want), got in zip(tmpl_leaves, got_leaves):
+        w_shape, g_shape = np.shape(want), np.shape(got)
+        if w_shape == g_shape:
+            out.append(got)
+        elif (len(w_shape) == len(g_shape) and len(w_shape) >= 1
+              and g_shape[0] == num_processes * w_shape[0]
+              and g_shape[1:] == w_shape[1:]):
+            n_loc = w_shape[0]
+            out.append(got[process_id * n_loc:(process_id + 1) * n_loc])
+        else:
+            raise ValueError(
+                f"checkpoint {path}: leaf {jax.tree_util.keystr(kp)} has "
+                f"shape {g_shape}, expected {w_shape} or "
+                f"{(num_processes * w_shape[0],) + tuple(w_shape[1:]) if w_shape else w_shape}"
+            )
+    treedef = jax.tree_util.tree_structure((ts, es))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def _fill_defaults(loaded, template):

@@ -45,12 +45,26 @@ def parse_args():
         help="env cfg dotted-path overrides (e.g. events.push_enabled=False"
              " commands.lin_vel_x='(-0.5,1.0)')",
     )
+    # multi-host bootstrap (reference rl_games/train.py:100-107 rank setup);
+    # also configurable via JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    # JAX_PROCESS_ID env vars (or nothing, on TPU pod runtimes)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for jax.distributed")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+
+    from cat_tpu.parallel import distributed as pdist
+
+    dist = pdist.maybe_initialize(
+        args.seed, args.coordinator, args.num_processes, args.process_id
+    )
+
     import numpy as np
 
     from cat_tpu.parallel import mesh as pmesh
@@ -85,29 +99,48 @@ def main():
 
     run_name = args.run_name or time.strftime("%Y-%m-%d_%H-%M-%S")
     run_path = os.path.join(args.logdir, args.agent, args.task, run_name)
-    os.makedirs(run_path, exist_ok=True)
-    with open(os.path.join(run_path, "config.json"), "w") as f:
-        json.dump(
-            {"task": args.task, "agent": args.agent,
-             "num_envs": num_envs, "seed": args.seed,
-             "agent_cfg": dataclasses.asdict(agent_cfg),
-             "env_cfg": dataclasses.asdict(env.cfg),
-             "devices": mesh.size},
-            f, indent=1,
-        )
-    logger = MetricLogger(run_path)
+    if dist.is_host0:
+        os.makedirs(run_path, exist_ok=True)
+        with open(os.path.join(run_path, "config.json"), "w") as f:
+            json.dump(
+                {"task": args.task, "agent": args.agent,
+                 "num_envs": num_envs, "seed": args.seed,
+                 "agent_cfg": dataclasses.asdict(agent_cfg),
+                 "env_cfg": dataclasses.asdict(env.cfg),
+                 "devices": mesh.size,
+                 "processes": dist.num_processes},
+                f, indent=1,
+            )
+    logger = MetricLogger(run_path) if dist.is_host0 else None
 
     ppo, build = pmesh.make_train_fn(env, agent_cfg, mesh)
-    key = jax.random.PRNGKey(args.seed)
-    k_env, k_ppo = jax.random.split(key)
-    es = env.init(k_env, num_envs)
-    first_obs = jax.jit(env.observe)(es)
-    ts = ppo.init(k_ppo, es, first_obs)
-    if args.checkpoint:
-        ts, es = ckpt.restore(args.checkpoint, ts, es)
-        print(f"resumed from {args.checkpoint} at iter {int(ts.iteration)}")
-    ts = pmesh.shard_states(mesh, ts, num_envs)
-    es = pmesh.shard_states(mesh, es, num_envs)
+    if dist.num_processes > 1:
+        # per-host env shard with rank-offset seed (env decorrelation);
+        # params from the BASE seed so every host initializes identically
+        # (the implicit broadcast, skrl/ppo.py:126-131)
+        n_local = pdist.local_env_count(num_envs)
+        es = env.init(jax.random.PRNGKey(dist.seed), n_local)
+        first_obs = jax.jit(env.observe)(es)
+        ts = ppo.init(jax.random.PRNGKey(args.seed + 0x5EED), es, first_obs)
+        if args.checkpoint:
+            ts, es = ckpt.restore_local_shard(args.checkpoint, ts, es,
+                                              dist.process_id,
+                                              dist.num_processes)
+            print(f"resumed from {args.checkpoint} "
+                  f"at iter {int(np.asarray(ts.iteration))}")
+        ts = pdist.host_local_to_global(mesh, ts, num_envs)
+        es = pdist.host_local_to_global(mesh, es, num_envs)
+    else:
+        key = jax.random.PRNGKey(args.seed)
+        k_env, k_ppo = jax.random.split(key)
+        es = env.init(k_env, num_envs)
+        first_obs = jax.jit(env.observe)(es)
+        ts = ppo.init(k_ppo, es, first_obs)
+        if args.checkpoint:
+            ts, es = ckpt.restore(args.checkpoint, ts, es)
+            print(f"resumed from {args.checkpoint} at iter {int(ts.iteration)}")
+        ts = pmesh.shard_states(mesh, ts, num_envs)
+        es = pmesh.shard_states(mesh, es, num_envs)
     train_fn = build(ts, es)
 
     print(f"training {args.task}: {num_envs} envs on {mesh.size} chip(s), "
@@ -128,7 +161,7 @@ def main():
         if not (np.isfinite(loss_val)
                 and np.isfinite(metrics["Train/mean_reward_per_step"])):
             bad = ckpt.save(os.path.join(run_path, f"ckpt_diverged_{it}"),
-                            ts, es)
+                            ts, es, write=dist.is_host0)
             print(f"FATAL: non-finite loss at iteration {it} "
                   f"(loss={loss_val}); diverged state dumped to {bad}.")
             if last_ckpt:
@@ -137,8 +170,9 @@ def main():
             sys.exit(1)
         metrics["Perf/env_steps_per_sec"] = steps_per_iter / dt
         metrics["Perf/iter_seconds"] = dt
-        logger.log(metrics, it)
-        if it % 10 == 0 or it == 1:
+        if logger is not None:
+            logger.log(metrics, it)
+        if dist.is_host0 and (it % 10 == 0 or it == 1):
             print(
                 f"iter {it:5d} | {steps_per_iter / dt:9.0f} steps/s | "
                 f"rew/step {metrics['Train/mean_reward_per_step']:.4f} | "
@@ -146,11 +180,15 @@ def main():
                 f"loss {metrics['Loss/mean_surrogate_loss']:.4f}"
             )
         if it % agent_cfg.save_interval == 0:
-            path = ckpt.save(os.path.join(run_path, f"ckpt_{it}"), ts, es)
+            path = ckpt.save(os.path.join(run_path, f"ckpt_{it}"), ts, es,
+                             write=dist.is_host0)
             last_ckpt = path
-            print(f"saved {path}")
-    ckpt.save(os.path.join(run_path, "ckpt_final"), ts, es)
-    print(f"done in {time.time() - t_start:.0f}s; logs at {run_path}")
+            if dist.is_host0:
+                print(f"saved {path}")
+    ckpt.save(os.path.join(run_path, "ckpt_final"), ts, es,
+              write=dist.is_host0)
+    if dist.is_host0:
+        print(f"done in {time.time() - t_start:.0f}s; logs at {run_path}")
 
 
 if __name__ == "__main__":

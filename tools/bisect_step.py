@@ -65,7 +65,7 @@ def main():
         ks, _, target_model = keys_and_target(state, raw_action)
         sim = env._engine_step(state.sim, target_model, state.mu)
 
-        fresh = env._reset_sim(ks[0], N)
+        fresh = env._reset_sim(ks[0], N, jnp.zeros((N, 2)))
         rmask = state.episode_len > 250
         sim = jax.tree.map(
             lambda new, old: jnp.where(

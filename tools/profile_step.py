@@ -131,7 +131,7 @@ def main():
 
     @jax.jit
     def reset_only(k):
-        return env._reset_sim(k, N)
+        return env._reset_sim(k, N, jnp.zeros((N, 2)))
 
     timeit("fresh reset states", reset_only, k)
 
