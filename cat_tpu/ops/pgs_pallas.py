@@ -111,14 +111,12 @@ def pgs_solve_batched(
     nc: int, nv: int, iterations: int = 8, cfm: float = 1e-4,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Batched PGS via the Pallas kernel. N must be a multiple of TILE_N.
+    """Batched PGS via the Pallas kernel (env-leading layout wrapper).
 
-    Returns lam (N, nc, 3).
+    N must be a multiple of TILE_N. Returns lam (N, nc, 3).
     """
     N = E.shape[0]
-    assert N % TILE_N == 0, N
     n3 = 3 * nc
-    grid = (N // TILE_N,)
 
     # env axis -> lanes
     E_t = E.transpose(1, 2, 0)         # (3nc, nv, N)
@@ -128,6 +126,30 @@ def pgs_solve_batched(
     active_t = active.T
     mu_t = mu[None, :]
     lam0_t = lam0.reshape(N, n3).T
+    lam_t = pgs_solve_lanes(
+        E_t, W_t, b_t, bias_t, active_t, mu_t, lam0_t,
+        nc=nc, nv=nv, iterations=iterations, cfm=cfm, interpret=interpret,
+    )
+    return lam_t.T.reshape(N, nc, 3)
+
+
+def pgs_solve_lanes(
+    E_t: jnp.ndarray,      # (3nc, nv, N)  — envs already on lanes
+    W_t: jnp.ndarray,      # (nv, 3nc, N)
+    b_t: jnp.ndarray,      # (3nc, N)
+    bias_t: jnp.ndarray,   # (nc, N)
+    active_t: jnp.ndarray, # (nc, N)
+    mu_t: jnp.ndarray,     # (1, N)
+    lam0_t: jnp.ndarray,   # (3nc, N)
+    *,
+    nc: int, nv: int, iterations: int = 8, cfm: float = 1e-4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Native-layout entry: no transposes in or out. Returns lam (3nc, N)."""
+    N = E_t.shape[-1]
+    assert N % TILE_N == 0, N
+    n3 = 3 * nc
+    grid = (N // TILE_N,)
 
     kernel = functools.partial(
         _pgs_kernel, nc=nc, nv=nv, iterations=iterations, cfm=cfm
@@ -160,4 +182,4 @@ def pgs_solve_batched(
         interpret=interpret,
     )(E_t, W_t, b_t, bias_t, active_t, mu_t, lam0_t)
 
-    return lam_t.T.reshape(N, nc, 3)
+    return lam_t

@@ -295,17 +295,10 @@ class PPO:
             updates = jax.tree.map(lambda u: -lr * u, updates)
             params = optax.apply_updates(params, updates)
             if mode == "adaptive_kl":
-                # rl_games AdaptiveScheduler.update (per minibatch, on the
-                # pmean'd KL — mirroring skrl's KL all_reduce, ppo.py:562-564)
-                kl = aux[3]
-                lr = jnp.where(
-                    kl > 2.0 * cfg.kl_target,
-                    jnp.maximum(lr / 1.5, cfg.lr_min),
-                    jnp.where(
-                        kl < 0.5 * cfg.kl_target,
-                        jnp.minimum(lr * 1.5, cfg.lr_max),
-                        lr,
-                    ),
+                # per minibatch, on the pmean'd KL — mirroring skrl's KL
+                # all_reduce (ppo.py:562-564)
+                lr = adaptive_kl_lr(
+                    lr, aux[3], cfg.kl_target, cfg.lr_min, cfg.lr_max
                 )
             return (params, opt_state, lr, perm_data), (loss,) + aux
 
@@ -360,6 +353,24 @@ class PPO:
             next_true_done=next_tdone,
         )
         return new_ts, es, metrics
+
+
+def adaptive_kl_lr(lr, kl, kl_target: float, lr_min: float, lr_max: float):
+    """rl_games AdaptiveScheduler.update / skrl KLAdaptiveLR step.
+
+    (rl_games schedulers.AdaptiveScheduler: kl > 2*threshold -> lr/1.5
+    floored at min_lr; kl < threshold/2 -> lr*1.5 capped at max_lr;
+    configured via rl_games_cat_solo.yaml:43-45.)
+    """
+    return jnp.where(
+        kl > 2.0 * kl_target,
+        jnp.maximum(lr / 1.5, lr_min),
+        jnp.where(
+            kl < 0.5 * kl_target,
+            jnp.minimum(lr * 1.5, lr_max),
+            lr,
+        ),
+    )
 
 
 def _mean(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:

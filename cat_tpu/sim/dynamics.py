@@ -113,11 +113,13 @@ def fk(model: RobotModel, qpos: jnp.ndarray, qvel: jnp.ndarray,
     if com_offset is not None:
         com = com + com_offset
     x_com = o + jnp.einsum("bij,bj->bi", R, com)
+    z3 = jnp.zeros((0, 3))
     return Kin(
         R=R, o=o,
         omega=jnp.stack(omegas), v_o=jnp.stack(vs),
         x_com=x_com,
-        a_w=jnp.stack(a_ws), o_j=jnp.stack(o_js),
+        a_w=jnp.stack(a_ws) if a_ws else z3,
+        o_j=jnp.stack(o_js) if o_js else z3,
     )
 
 

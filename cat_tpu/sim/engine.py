@@ -286,21 +286,33 @@ def control_step(
 
 
 def make_batched_step(model: RobotModel, params: EngineParams,
-                      num_envs: int = 0, terrain: Terrain = None):
+                      num_envs: int = 0, terrain: Terrain = None,
+                      layout: str = "auto"):
     """Returns step(batched SimState, targets (N, nj), mu (N,)) -> SimState.
 
-    Uses the Pallas contact kernel on TPU when the local env count is a
-    multiple of its tile size; the pure-XLA path otherwise (CPU tests,
-    odd batch sizes).
+    layout:
+      * "lanes" — env axis on the TPU lane dimension throughout the substep
+        (engine_lanes.py), Pallas contact kernel when the env count tiles.
+        The production TPU path: the vmap layout ran the dynamics at ~2% of
+        VPU peak (tiny trailing dims on the 128-lane axis).
+      * "vmap"  — the original env-leading layout (reference implementation,
+        golden-tested on CPU).
+      * "auto"  — lanes on TPU, vmap elsewhere.
     """
     from cat_tpu.ops.pgs_pallas import TILE_N
 
     anc_mask = model.ancestor_mask()
     terrain = terrain if terrain is not None else plane()
-    use_pallas = (
-        jax.default_backend() == "tpu" and num_envs > 0
-        and num_envs % TILE_N == 0
-    )
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = on_tpu and num_envs > 0 and num_envs % TILE_N == 0
+    if layout == "auto":
+        layout = "lanes" if on_tpu else "vmap"
+    if layout == "lanes":
+        from .engine_lanes import control_step_lanes
+
+        return functools.partial(
+            control_step_lanes, model, params, anc_mask, terrain, use_pallas
+        )
     return functools.partial(
         control_step, model, params, anc_mask, terrain, use_pallas
     )

@@ -125,7 +125,7 @@ class RobotModel:
         """True if every branch is a contiguous 3-dof chain (quadruped legs),
         enabling the closed-form structured mass-matrix inverse."""
         br = self.branches()
-        return all(
+        return bool(br) and all(
             len(x) == 3 and x == list(range(x[0], x[0] + 3)) for x in br
         )
 

@@ -180,3 +180,34 @@ def test_train_iteration_backend_variants():
         assert variant.lr_min <= lr <= variant.lr_max
         p1 = jax.tree_util.tree_leaves(ts.params)[0]
         assert not np.allclose(np.array(p0), np.array(p1))
+
+
+def test_adaptive_kl_lr_pinned_trajectory():
+    """Pin the adaptive-KL LR update against a hand-computed rl_games
+    AdaptiveScheduler sequence (schedulers.AdaptiveScheduler semantics,
+    configured by rl_games_cat_solo.yaml:43-45: kl_threshold 0.008,
+    min 1e-6, max 1e-2, factor 1.5)."""
+    from cat_tpu.rl.ppo import adaptive_kl_lr
+
+    tgt, lo, hi = 0.008, 1e-6, 1e-2
+    kls = [0.02, 0.02, 0.001, 0.005, 0.03, 0.0001]
+    # hand-computed: /1.5 when kl > 0.016, *1.5 when kl < 0.004, else hold
+    expect = [
+        3e-4 / 1.5,                # 0.02  > 2*tgt
+        3e-4 / 1.5 / 1.5,          # 0.02
+        3e-4 / 1.5 / 1.5 * 1.5,    # 0.001 < tgt/2
+        3e-4 / 1.5,                # 0.005 in band -> hold
+        3e-4 / 1.5 / 1.5,          # 0.03
+        3e-4 / 1.5,                # 0.0001
+    ]
+    lr = jnp.float32(3e-4)
+    for kl, want in zip(kls, expect):
+        lr = adaptive_kl_lr(lr, jnp.float32(kl), tgt, lo, hi)
+        np.testing.assert_allclose(float(lr), want, rtol=1e-6)
+    # bounds: growth capped at max_lr, shrink floored at min_lr
+    assert float(adaptive_kl_lr(jnp.float32(8e-3), 0.0001, tgt, lo, hi)) == (
+        np.float32(hi)
+    )
+    assert float(adaptive_kl_lr(jnp.float32(1.2e-6), 0.5, tgt, lo, hi)) == (
+        np.float32(lo)
+    )
