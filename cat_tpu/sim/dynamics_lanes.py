@@ -419,11 +419,84 @@ class ContactsL(NamedTuple):
     frame: Optional[jnp.ndarray]  # (nc, 3, 3, N) rows (t1,t2,n); None = world
 
 
+def _point_jacobians_lanes(model: RobotModel, kin: KinL, mask: np.ndarray,
+                           x: jnp.ndarray) -> jnp.ndarray:
+    """World-frame point Jacobians, lanes layout.
+
+    x (k, 3, N) world points; mask (k, nj) ancestor mask of the owning
+    bodies. Returns (k, 3, nv, N).
+    """
+    k, N = x.shape[0], x.shape[-1]
+    Jlin = jnp.broadcast_to(jnp.eye(3)[None, :, :, None], (k, 3, 3, N))
+    R0 = jnp.broadcast_to(kin.R[0][None], (k, 3, 3, N))
+    Jang = -matmat3_l(skew_l(x - kin.o[0][None]), R0)
+    rel = x[:, None] - kin.o_j[None]                          # (k, nj, 3, N)
+    jc = cross_l(jnp.broadcast_to(kin.a_w[None], rel.shape), rel)
+    jc = jc * jnp.asarray(mask.astype(np.float32))[:, :, None, None]
+    return jnp.concatenate([Jlin, Jang, jnp.swapaxes(jc, 1, 2)], axis=2)
+
+
+def detect_pair_contacts_lanes(model: RobotModel, kin: KinL,
+                               anc_mask: np.ndarray):
+    """Self-collision capsule-capsule contacts, lanes layout.
+
+    Mirror of collision.detect_pair_contacts on (..., N) arrays. Returns
+    (phi (np, N), Jc (np, 3, nv, N), frame (np, 3, 3, N)).
+    """
+    ba, bb = model.pair_body_a, model.pair_body_b
+    npair, N = len(ba), kin.o.shape[-1]
+    eps = 1e-12
+
+    def endpoints(bodies, p0, p1):
+        R, o = kin.R[bodies], kin.o[bodies]
+        p0 = jnp.asarray(np.asarray(p0, np.float32))[:, :, None]
+        p1 = jnp.asarray(np.asarray(p1, np.float32))[:, :, None]
+        return (
+            o + matvec3_l(R, jnp.broadcast_to(p0, (npair, 3, N))),
+            o + matvec3_l(R, jnp.broadcast_to(p1, (npair, 3, N))),
+        )
+
+    p0a, p1a = endpoints(ba, model.pair_p0_a, model.pair_p1_a)
+    p0b, p1b = endpoints(bb, model.pair_p0_b, model.pair_p1_b)
+    d1, d2, r = p1a - p0a, p1b - p0b, p0a - p0b
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=1)                         # (np, N)
+
+    a, e, b = dot(d1, d1), dot(d2, d2), dot(d1, d2)
+    c, f = dot(d1, r), dot(d2, r)
+    denom = a * e - b * b
+    s = jnp.clip((b * f - c * e) / (denom + eps), 0.0, 1.0)
+    t = jnp.clip((b * s + f) / (e + eps), 0.0, 1.0)
+    s = jnp.clip((b * t - c) / (a + eps), 0.0, 1.0)
+    ca = p0a + s[:, None, :] * d1
+    cb = p0b + t[:, None, :] * d2
+    delta = ca - cb
+    dist = jnp.sqrt(dot(delta, delta) + eps)                  # (np, N)
+    n = delta / dist[:, None, :]
+    rsum = np.asarray(model.pair_radius_a + model.pair_radius_b, np.float32)
+    phi = dist - jnp.asarray(rsum)[:, None]
+
+    near_z = jnp.abs(n[:, 2, :]) > 0.9                        # (np, N)
+    ex = jnp.zeros((npair, 3, N)).at[:, 0, :].set(1.0)
+    ez = jnp.zeros((npair, 3, N)).at[:, 2, :].set(1.0)
+    u = jnp.where(near_z[:, None, :], ex, ez)
+    t1 = cross_l(n, u)
+    t1 = t1 / jnp.sqrt(dot(t1, t1))[:, None, :]
+    t2 = cross_l(n, t1)
+    frame = jnp.stack([t1, t2, n], axis=1)                    # (np, 3, 3, N)
+
+    Jrel = _point_jacobians_lanes(model, kin, anc_mask[ba], ca) \
+        - _point_jacobians_lanes(model, kin, anc_mask[bb], cb)
+    Jc = jnp.sum(frame[:, :, :, None, :] * Jrel[:, None, :, :, :], axis=2)
+    return phi, Jc, frame
+
+
 @f32_matmuls
 def detect_contacts_lanes(model: RobotModel, terrain: Terrain, kin: KinL,
                           anc_mask: np.ndarray) -> ContactsL:
     body = model.cand_body
-    nc = model.ncand
+    nc = model.ncand_terrain
     nj, nv = model.nj, model.nv
     N = kin.o.shape[-1]
     off = jnp.asarray(np.asarray(model.cand_offset, np.float32))[:, :, None]
@@ -433,28 +506,35 @@ def detect_contacts_lanes(model: RobotModel, terrain: Terrain, kin: KinL,
     ob = kin.o[body]                                          # (nc, 3, N)
     x = ob + matvec3_l(Rb, jnp.broadcast_to(off, (nc, 3, N)))
 
-    mask = jnp.asarray(anc_mask[body].astype(np.float32))     # (nc, nj)
-    Jlin = jnp.broadcast_to(jnp.eye(3)[None, :, :, None], (nc, 3, 3, N))
-    R0 = jnp.broadcast_to(kin.R[0][None], (nc, 3, 3, N))
-    Jang = -matmat3_l(skew_l(x - kin.o[0][None]), R0)
-    rel = x[:, None] - kin.o_j[None]                          # (nc, nj, 3, N)
-    jc = cross_l(jnp.broadcast_to(kin.a_w[None], rel.shape), rel)
-    jc = jc * mask[:, :, None, None]
-    J = jnp.concatenate([Jlin, Jang, jnp.swapaxes(jc, 1, 2)], axis=2)
+    mask = anc_mask[body]                                     # (nc, nj)
+    J = _point_jacobians_lanes(model, kin, mask, x)
 
     if terrain.kind == "plane":
         phi = x[:, 2, :] - rad[:, None]
-        return ContactsL(phi=phi, E=J.reshape(3 * nc, nv, N), frame=None)
+        frame = None
+        Jc = J
+    else:
+        xy = jnp.stack([x[:, 0, :], x[:, 1, :]], axis=-1)      # (nc, N, 2)
+        h = terrain_mod.height_at(terrain, xy)                 # (nc, N)
+        n = terrain_mod.normal_at(terrain, xy)                 # (nc, N, 3)
+        n = jnp.moveaxis(n, -1, 1)                             # (nc, 3, N)
+        phi = (x[:, 2, :] - h) * n[:, 2, :] - rad[:, None]
+        ex = jnp.zeros((nc, 3, N)).at[:, 0, :].set(1.0)
+        t1 = ex - n * n[:, 0:1, :]
+        t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1, axis=1))[:, None, :]
+        t2 = cross_l(n, t1)
+        frame = jnp.stack([t1, t2, n], axis=1)                 # (nc, 3, 3, N)
+        Jc = jnp.sum(frame[:, :, :, None, :] * J[:, None, :, :, :], axis=2)
 
-    xy = jnp.stack([x[:, 0, :], x[:, 1, :]], axis=-1)          # (nc, N, 2)
-    h = terrain_mod.height_at(terrain, xy)                     # (nc, N)
-    n = terrain_mod.normal_at(terrain, xy)                     # (nc, N, 3)
-    n = jnp.moveaxis(n, -1, 1)                                 # (nc, 3, N)
-    phi = (x[:, 2, :] - h) * n[:, 2, :] - rad[:, None]
-    ex = jnp.zeros((nc, 3, N)).at[:, 0, :].set(1.0)
-    t1 = ex - n * n[:, 0:1, :]
-    t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1, axis=1))[:, None, :]
-    t2 = cross_l(n, t1)
-    frame = jnp.stack([t1, t2, n], axis=1)                     # (nc, 3, 3, N)
-    Jc = jnp.sum(frame[:, :, :, None, :] * J[:, None, :, :, :], axis=2)
-    return ContactsL(phi=phi, E=Jc.reshape(3 * nc, nv, N), frame=frame)
+    if model.npair:
+        phi_p, Jp, frame_p = detect_pair_contacts_lanes(model, kin, anc_mask)
+        if frame is None:
+            frame = jnp.broadcast_to(
+                jnp.eye(3)[None, :, :, None], (nc, 3, 3, N)
+            )
+        phi = jnp.concatenate([phi, phi_p])
+        Jc = jnp.concatenate([Jc, Jp])
+        frame = jnp.concatenate([frame, frame_p])
+
+    nct = model.ncand
+    return ContactsL(phi=phi, E=Jc.reshape(3 * nct, nv, N), frame=frame)

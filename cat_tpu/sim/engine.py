@@ -174,8 +174,16 @@ def _substep_post(
     else:
         lam_w = lam
     f_cand = lam_w / h                               # world-frame forces (N)
+    if model.npair:
+        # self-collision rows report +f to body A's slot and -f to body B's
+        rep = np.concatenate(
+            [model.cand_report, model.pair_report_a, model.pair_report_b]
+        )
+        f_all = jnp.concatenate([f_cand, -f_cand[model.ncand_terrain:]])
+    else:
+        rep, f_all = model.cand_report, f_cand
     forces = jax.ops.segment_sum(
-        f_cand, jnp.asarray(model.cand_report), num_segments=model.nreport
+        f_all, jnp.asarray(rep), num_segments=model.nreport
     )
     force_hist = jnp.concatenate(
         [s.force_hist[3 * model.nreport:], forces.reshape(-1)]

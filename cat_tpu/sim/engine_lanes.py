@@ -160,8 +160,16 @@ def _substep_post_lanes(
     else:
         lam_w = lam_resh
     f_cand = lam_w / h                                 # (nc, 3, N)
+    if model.npair:
+        # self-collision rows report +f to body A's slot and -f to body B's
+        rep = np.concatenate(
+            [model.cand_report, model.pair_report_a, model.pair_report_b]
+        )
+        f_all = jnp.concatenate([f_cand, -f_cand[model.ncand_terrain:]])
+    else:
+        rep, f_all = model.cand_report, f_cand
     forces = jax.ops.segment_sum(
-        f_cand, jnp.asarray(model.cand_report), num_segments=nr
+        f_all, jnp.asarray(rep), num_segments=nr
     )                                                  # (nr, 3, N)
     forces_flat = forces.reshape(3 * nr, -1)
     hist_new = jnp.concatenate([force_hist[3 * nr:], forces_flat], axis=0)

@@ -66,6 +66,31 @@ class RobotModel:
     site_offset: np.ndarray              # (nsite, 3)
     # foot candidate indices (for air-time tracking): report slots that are feet
     foot_report_ids: np.ndarray          # (nfeet,)
+    # --- self-collision capsule pairs (optional; reference enables PhysX
+    # self-collisions, odri.py:35 enabled_self_collisions=True). Each pair is
+    # capsule-vs-capsule (sphere = degenerate capsule p0 == p1); endpoints in
+    # the owning body's frame. Contact rows are appended after the terrain
+    # candidates; forces report +f to pair_report_a and -f to pair_report_b.
+    pair_body_a: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int32))      # (npair,)
+    pair_p0_a: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))                 # (npair, 3)
+    pair_p1_a: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    pair_radius_a: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0))                      # (npair,)
+    pair_body_b: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int32))
+    pair_p0_b: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    pair_p1_b: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    pair_radius_b: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0))
+    pair_report_a: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int32))      # (npair,)
+    pair_report_b: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int32))
 
     @property
     def nbody(self) -> int:
@@ -85,7 +110,20 @@ class RobotModel:
 
     @property
     def ncand(self) -> int:
+        """TOTAL contact rows: terrain candidates + self-collision pairs.
+
+        This sizes the impulse state, the Delassus system, and the PGS
+        kernel; the terrain-only count is `ncand_terrain`.
+        """
+        return len(self.cand_body) + len(self.pair_body_a)
+
+    @property
+    def ncand_terrain(self) -> int:
         return len(self.cand_body)
+
+    @property
+    def npair(self) -> int:
+        return len(self.pair_body_a)
 
     @property
     def nreport(self) -> int:
@@ -152,12 +190,54 @@ class RobotModel:
         raw = json.loads(s)
         kw = {}
         for f in dataclasses.fields(RobotModel):
+            if f.name not in raw:
+                continue  # optional field (e.g. pair_*): keep the default
             v = raw[f.name]
             if isinstance(v, dict) and "__nd__" in v:
                 kw[f.name] = np.array(v["__nd__"], dtype=v["dtype"])
             else:
                 kw[f.name] = tuple(v)
         return RobotModel(**kw)
+
+    def with_self_collision_pairs(self, specs) -> "RobotModel":
+        """Return a copy with self-collision capsule pairs attached.
+
+        specs: iterable of dicts with keys
+          body_a, p0_a, p1_a, radius_a, body_b, p0_b, p1_b, radius_b
+          and optional report_a / report_b (default: the body's own report
+          slot, resolved by name in report_names).
+        Bodies are referenced by NAME; endpoints are body-frame points.
+        """
+        names = list(self.body_names)
+        rnames = list(self.report_names)
+
+        def rep(spec, side):
+            key = f"report_{side}"
+            nm = spec.get(key, spec[f"body_{side}"])
+            return rnames.index(nm)
+
+        specs = list(specs)
+        return dataclasses.replace(
+            self,
+            pair_body_a=np.array(
+                [names.index(s["body_a"]) for s in specs], dtype=np.int32),
+            pair_p0_a=np.array([s["p0_a"] for s in specs], dtype=np.float64
+                               ).reshape(-1, 3),
+            pair_p1_a=np.array([s["p1_a"] for s in specs], dtype=np.float64
+                               ).reshape(-1, 3),
+            pair_radius_a=np.array([s["radius_a"] for s in specs]),
+            pair_body_b=np.array(
+                [names.index(s["body_b"]) for s in specs], dtype=np.int32),
+            pair_p0_b=np.array([s["p0_b"] for s in specs], dtype=np.float64
+                               ).reshape(-1, 3),
+            pair_p1_b=np.array([s["p1_b"] for s in specs], dtype=np.float64
+                               ).reshape(-1, 3),
+            pair_radius_b=np.array([s["radius_b"] for s in specs]),
+            pair_report_a=np.array(
+                [rep(s, "a") for s in specs], dtype=np.int32),
+            pair_report_b=np.array(
+                [rep(s, "b") for s in specs], dtype=np.int32),
+        )
 
 
 def combine_inertia(
