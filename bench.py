@@ -4,9 +4,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 North-star metric (BASELINE.json): env steps/sec/chip at 4096 envs. The
 reference publishes no throughput numbers (BASELINE.md), so vs_baseline is
-reported against REF_GPU_STEPS_PER_SEC, a representative Isaac Lab Solo12
-4096-env single-GPU figure used as the working anchor until a measured
-baseline exists.
+reported against this repo's own round-1 measured figure (BENCH_r01.json:
+74,829 env-steps/s on one TPU chip, pre-lanes pre-self-collision engine) —
+progress must show up as vs_baseline > 1 with the HARDER current physics
+(36 contact candidates incl. self-collision vs 28 then).
 """
 
 import json
@@ -20,9 +21,9 @@ os.environ.setdefault("JAX_PLATFORMS", "")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-# Working anchor: Isaac Lab-class GPU rigs typically run ~50-100k env-steps/s
-# at 4096 envs for quadruped locomotion; use the midpoint until measured.
-REF_GPU_STEPS_PER_SEC = 75_000.0
+# Measured baseline: this repo's round-1 number on the same chip/config
+# (BENCH_r01.json), not an invented GPU figure.
+BASELINE_R1_STEPS_PER_SEC = 74_829.0
 
 
 def main():
@@ -61,7 +62,7 @@ def main():
                 "metric": "env_steps_per_sec_per_chip_4096envs_full_ppo",
                 "value": round(sps, 1),
                 "unit": "env_steps/s",
-                "vs_baseline": round(sps / REF_GPU_STEPS_PER_SEC, 3),
+                "vs_baseline": round(sps / BASELINE_R1_STEPS_PER_SEC, 3),
             }
         )
     )

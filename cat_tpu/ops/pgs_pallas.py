@@ -27,7 +27,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 128  # env tile = lane width
+TILE_N = 128  # preferred env tile = lane width
+
+# Scoped-VMEM budget for tile selection. The hardware limit is 16 MB; leave
+# headroom for Mosaic double-buffering slack and unmodeled temps.
+_VMEM_BUDGET = 12 * 2**20
+
+
+def pick_tile(nc: int, nv: int) -> int:
+    """Largest env tile whose kernel VMEM footprint fits the budget.
+
+    Footprint model: A_scratch (n3, n3, tile) + double-buffered operand
+    blocks (E, W, b, bias, active, mu, lam0, out) + unrolled stack temps
+    (acc/w/lam/inv_d rows). At nc=36 (self-collision on) this picks 128;
+    the full (n3, n3, tile) temp the r2 kernel also built is what pushed
+    it to 22.4 MB and the compile failure recorded in BENCH_r02.json.
+    """
+    n3 = 3 * nc
+    for tile in (128, 64, 32):
+        scratch = n3 * n3 * tile * 4
+        blocks = (2 * n3 * nv + 4 * n3 + 2 * nc + 1) * tile * 4
+        stack = 5 * n3 * tile * 4
+        if scratch + 2 * blocks + stack <= _VMEM_BUDGET:
+            return tile
+    return 32
 
 
 def _pgs_kernel(
@@ -47,11 +70,18 @@ def _pgs_kernel(
     cfm: float,
 ):
     n3 = 3 * nc
+    tile_n = E_ref.shape[-1]
     # ---- A[i, j, n] = sum_k E[i, k, n] * W[k, j, n]  (envs on lanes) ----
-    A = jnp.zeros((n3, n3, TILE_N), dtype=jnp.float32)
-    for k in range(nv):
-        A = A + E_ref[:, k, :][:, None, :] * W_ref[k, :, :][None, :, :]
-    A_scratch[:] = A
+    # Row-block accumulation: building the full (n3, n3, tile) product as a
+    # jnp temp doubles the VMEM footprint (a ~6 MB stack allocation on top
+    # of A_scratch at nc=36 — the BENCH_r02 scoped-VMEM OOM). Accumulate
+    # each row block with a (n3, tile) temp and store it straight into
+    # scratch instead.
+    for r in range(n3):
+        acc = E_ref[r, 0, :][None, :] * W_ref[0, :, :]
+        for k in range(1, nv):
+            acc = acc + E_ref[r, k, :][None, :] * W_ref[k, :, :]
+        A_scratch[r] = acc
 
     mu = mu_ref[0, :]
     act = [active_ref[i, :] for i in range(nc)]
@@ -60,7 +90,7 @@ def _pgs_kernel(
     lam = [lam0_ref[3 * i + c, :] * act[i] for i in range(nc) for c in range(3)]
 
     # w = A @ lam  (sum of column scalings; A symmetric -> use rows)
-    w = jnp.zeros((n3, TILE_N), dtype=jnp.float32)
+    w = jnp.zeros((n3, tile_n), dtype=jnp.float32)
     for r in range(n3):
         w = w + A_scratch[r] * lam[r][None, :]
 
@@ -113,7 +143,7 @@ def pgs_solve_batched(
 ) -> jnp.ndarray:
     """Batched PGS via the Pallas kernel (env-leading layout wrapper).
 
-    N must be a multiple of TILE_N. Returns lam (N, nc, 3).
+    Returns lam (N, nc, 3). Any N (padded internally to the tile).
     """
     N = E.shape[0]
     n3 = 3 * nc
@@ -145,11 +175,27 @@ def pgs_solve_lanes(
     nc: int, nv: int, iterations: int = 8, cfm: float = 1e-4,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Native-layout entry: no transposes in or out. Returns lam (3nc, N)."""
+    """Native-layout entry: no transposes in or out. Returns lam (3nc, N).
+
+    Any env count is accepted: the trailing axis is zero-padded up to a
+    multiple of the chosen tile (padded envs have active=0 so their
+    impulses come out 0) and the pad is stripped from the result. This
+    keeps off-tile configs (e.g. the 50-env PLAY rollout) on the Pallas
+    path instead of silently falling back to the XLA mirror.
+    """
     N = E_t.shape[-1]
-    assert N % TILE_N == 0, N
     n3 = 3 * nc
-    grid = (N // TILE_N,)
+    tile = pick_tile(nc, nv)
+    pad = (-N) % tile
+    if pad:
+        padw = [(0, 0)] * (E_t.ndim - 1) + [(0, pad)]
+        E_t, W_t = jnp.pad(E_t, padw[-3:]), jnp.pad(W_t, padw[-3:])
+        pad2 = [(0, 0), (0, pad)]
+        b_t, bias_t = jnp.pad(b_t, pad2), jnp.pad(bias_t, pad2)
+        active_t, mu_t = jnp.pad(active_t, pad2), jnp.pad(mu_t, pad2)
+        lam0_t = jnp.pad(lam0_t, pad2)
+    Np = N + pad
+    grid = (Np // tile,)
 
     kernel = functools.partial(
         _pgs_kernel, nc=nc, nv=nv, iterations=iterations, cfm=cfm
@@ -158,28 +204,28 @@ def pgs_solve_lanes(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n3, nv, TILE_N), lambda i: (0, 0, i),
+            pl.BlockSpec((n3, nv, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, n3, TILE_N), lambda i: (0, 0, i),
+            pl.BlockSpec((nv, n3, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n3, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((n3, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((nc, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((nc, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n3, TILE_N), lambda i: (0, i),
+            pl.BlockSpec((n3, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n3, TILE_N), lambda i: (0, i),
+        out_specs=pl.BlockSpec((n3, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n3, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n3, Np), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((n3, n3, TILE_N), jnp.float32),
+            pltpu.VMEM((n3, n3, tile), jnp.float32),
         ],
         interpret=interpret,
     )(E_t, W_t, b_t, bias_t, active_t, mu_t, lam0_t)
 
-    return lam_t
+    return lam_t[:, :N] if pad else lam_t

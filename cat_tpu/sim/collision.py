@@ -93,7 +93,19 @@ def detect_pair_contacts(model: RobotModel, kin: Kin, anc_mask: np.ndarray):
     cb = p0b + t[:, None] * d2
     delta = ca - cb
     dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-12)
-    n = delta / dist[:, None]
+    # Robust normal: when the axes (nearly) intersect, delta/dist is
+    # numerically arbitrary — its direction has ~zero inverse effective
+    # mass and the Baumgarte term then demands a divergent impulse. The
+    # limit direction for interior closest points is +-cross(d1, d2);
+    # use it below 1 mm separation, sign-aligned with delta (ez fallback
+    # when the axes are also near-parallel).
+    cr = jnp.cross(d1, d2)
+    crn = jnp.linalg.norm(cr, axis=-1, keepdims=True)
+    sign = jnp.where(jnp.sum(cr * delta, axis=-1, keepdims=True) >= 0.0,
+                     1.0, -1.0)
+    n_fb = jnp.where(crn > 1e-6, sign * cr / (crn + 1e-12),
+                     jnp.array([0.0, 0.0, 1.0]))
+    n = jnp.where((dist > 1e-3)[:, None], delta / dist[:, None], n_fb)
     phi = dist - jnp.asarray(model.pair_radius_a + model.pair_radius_b)
 
     # tangent basis: reference axis ez unless n is near-vertical, then ex

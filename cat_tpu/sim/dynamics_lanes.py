@@ -473,7 +473,14 @@ def detect_pair_contacts_lanes(model: RobotModel, kin: KinL,
     cb = p0b + t[:, None, :] * d2
     delta = ca - cb
     dist = jnp.sqrt(dot(delta, delta) + eps)                  # (np, N)
-    n = delta / dist[:, None, :]
+    # Robust normal (mirror of collision.detect_pair_contacts): fall back
+    # to +-cross(d1, d2) when the axes (nearly) intersect, ez if parallel.
+    cr = cross_l(d1, d2)
+    crn = jnp.sqrt(dot(cr, cr))[:, None, :]                   # (np, 1, N)
+    sgn = jnp.where(dot(cr, delta)[:, None, :] >= 0.0, 1.0, -1.0)
+    ez_fb = jnp.zeros((npair, 3, N)).at[:, 2, :].set(1.0)
+    n_fb = jnp.where(crn > 1e-6, sgn * cr / (crn + eps), ez_fb)
+    n = jnp.where((dist > 1e-3)[:, None, :], delta / dist[:, None, :], n_fb)
     rsum = np.asarray(model.pair_radius_a + model.pair_radius_b, np.float32)
     phi = dist - jnp.asarray(rsum)[:, None]
 

@@ -253,7 +253,7 @@ def _batched_substep(
     else:
         pre = jax.vmap(f_pre)(s, target_q, com_offset)
     tau_j, v_free, E, minvEt, b, phi, frame = pre
-    bias = (sp.erp / params.dt) * jnp.minimum(phi + sp.slop, 0.0)
+    bias = solver.contact_bias(phi, params.dt, sp)
     active = (phi < sp.margin).astype(jnp.float32)
     lam = pgs_pallas.pgs_solve_batched(
         E, minvEt, b, bias, active, mu,
@@ -307,12 +307,12 @@ def make_batched_step(model: RobotModel, params: EngineParams,
         golden-tested on CPU).
       * "auto"  — lanes on TPU, vmap elsewhere.
     """
-    from cat_tpu.ops.pgs_pallas import TILE_N
-
     anc_mask = model.ancestor_mask()
     terrain = terrain if terrain is not None else plane()
     on_tpu = jax.default_backend() == "tpu"
-    use_pallas = on_tpu and num_envs > 0 and num_envs % TILE_N == 0
+    # the Pallas wrapper pads the env axis to its tile, so any env count
+    # stays on the kernel path on TPU (no silent XLA-mirror fallback)
+    use_pallas = on_tpu and num_envs > 0
     if layout == "auto":
         layout = "lanes" if on_tpu else "vmap"
     if layout == "lanes":

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import dynamics_lanes as dl
+from . import solver
 from .dynamics import f32_matmuls
 from .engine import EngineParams, SimState
 from .model import RobotModel
@@ -204,7 +205,7 @@ def _substep_lanes(
         com_offsetT,
     )
     sp = params.solver
-    bias = (sp.erp / params.dt) * jnp.minimum(phi + sp.slop, 0.0)
+    bias = solver.contact_bias(phi, params.dt, sp)
     active = (phi < sp.margin).astype(jnp.float32)
     if use_pallas:
         from cat_tpu.ops import pgs_pallas

@@ -38,6 +38,19 @@ class SolverParams(NamedTuple):
     cfm: float = 1e-4            # constraint regularization
     slop: float = 0.002          # penetration tolerance (m)
     margin: float = 0.0          # activation distance
+    max_depen_vel: float = 2.0   # cap on Baumgarte push-out speed (m/s);
+                                 # PhysX analog: max_depenetration_velocity
+                                 # (odri.py:32 sets 100 — effectively off;
+                                 # ours is tight to keep deep-spawn
+                                 # penetrations from ballistic pop-out)
+
+
+def contact_bias(phi, h: float, params: SolverParams):
+    """Baumgarte stabilization velocity (<= 0), depenetration-clamped."""
+    return jnp.maximum(
+        (params.erp / h) * jnp.minimum(phi + params.slop, 0.0),
+        -params.max_depen_vel,
+    )
 
 
 def pgs_solve(
@@ -55,7 +68,7 @@ def pgs_solve(
     active = (phi < params.margin).astype(A.dtype)        # (nc,)
     lam = lam0 * active[:, None]                          # (nc, 3)
 
-    bias = (params.erp / h) * jnp.minimum(phi + params.slop, 0.0)  # (nc,) <= 0
+    bias = contact_bias(phi, h, params)                   # (nc,) <= 0
     mu = jnp.broadcast_to(mu, (nc,))
 
     # Row-block view: A_blk[i] = A[3i:3i+3, :]. By symmetry these are also

@@ -26,4 +26,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# CAT_TPU_TESTS=1 leaves the real backend in place so the backend-gated
+# smoke tests (tests/test_tpu_smoke.py) exercise the PRODUCTION lanes+Pallas
+# path on the chip; everything else still runs (on TPU, slower compiles).
+if not os.environ.get("CAT_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,54 @@
+"""Backend-gated TPU production-path smoke (VERDICT r2 next-step #5).
+
+The rest of the suite runs on the virtual CPU mesh, which silently selects
+layout="vmap" and use_pallas=False — the NON-production engine. That is how
+a kernel-breaking change (the r2 Pallas VMEM OOM) got committed without any
+test failing. These tests only run when the session is on a real TPU
+backend (run with `CAT_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py`)
+and jit one lanes+Pallas control step at the flagship contact configuration
+(nc=36: self-collision ON), so a kernel that fails to compile turns tests
+red, not just the end-of-round bench.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+on_tpu = jax.default_backend() == "tpu"
+pytestmark = pytest.mark.skipif(
+    not on_tpu, reason="requires a real TPU backend (CAT_TPU_TESTS=1)"
+)
+
+
+@pytest.mark.slow
+def test_lanes_pallas_control_step_compiles_and_runs():
+    from cat_tpu.models.solo12 import solo12_model
+    from cat_tpu.sim import engine as em
+    from cat_tpu.sim.engine import EngineParams
+
+    model = solo12_model()
+    assert model.ncand == 36  # flagship contact set: self-collision ON
+    N = 128
+    step = jax.jit(
+        em.make_batched_step(model, EngineParams(), num_envs=N,
+                             layout="lanes")
+    )
+    s = em.make_batched_init(model, N)
+    target = jnp.zeros((N, model.nj))
+    s1 = step(s, target, jnp.ones(N))
+    jax.block_until_ready(s1.qpos)
+    q = np.asarray(s1.qpos)
+    assert np.isfinite(q).all()
+    # robot dropped from z=0.3: feet contact fires within one control step
+    f = np.asarray(s1.forces)
+    assert np.isfinite(f).all()
+
+
+@pytest.mark.slow
+def test_entry_exercises_production_path():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)

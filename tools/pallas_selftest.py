@@ -64,7 +64,8 @@ def main():
         tau_j, v_free, E, W, b, phi, frame = el._substep_pre_lanes(
             model, params, anc, terr, qposT, qvelT, targetT, None
         )
-        bias = (sp.erp / params.dt) * jnp.minimum(phi + sp.slop, 0.0)
+        from cat_tpu.sim import solver as solver_mod
+        bias = solver_mod.contact_bias(phi, params.dt, sp)
         active = (phi < sp.margin).astype(jnp.float32)
         return E, W, b, bias, active
 
