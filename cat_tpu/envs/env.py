@@ -348,7 +348,7 @@ class CatEnv:
             seed=seed,
             acc_viol=jnp.zeros(nt), acc_prob=jnp.zeros(nt),
             acc_rew=jnp.zeros(()), acc_len=jnp.zeros(()),
-            acc_count=jnp.zeros(()),
+            acc_count=jnp.zeros(()), acc_term=jnp.zeros(3),
         )
         return state
 
@@ -499,6 +499,12 @@ class CatEnv:
         acc_rew = state.acc_rew + jnp.sum(rf * episode_rew)
         acc_len = state.acc_len + jnp.sum(rf * episode_len)
         acc_count = state.acc_count + jnp.sum(rf)
+        # termination-cause split (priority contact > upside > timeout)
+        acc_term = state.acc_term + jnp.stack([
+            jnp.sum(illegal.astype(jnp.float32)),
+            jnp.sum((upside & ~illegal).astype(jnp.float32)),
+            jnp.sum((time_out & ~terminated).astype(jnp.float32)),
+        ])
 
         # terrain curriculum (Isaac Lab terrain_levels_vel equivalent):
         # promoted on a timed-out episode that walked at least half the
@@ -574,7 +580,7 @@ class CatEnv:
             episode_rew=episode_rew,
             common_step=common_step, seed=state.seed,
             acc_viol=acc_viol, acc_prob=acc_prob, acc_rew=acc_rew,
-            acc_len=acc_len, acc_count=acc_count,
+            acc_len=acc_len, acc_count=acc_count, acc_term=acc_term,
         )
         return new_state, obs, reward, dones, time_out
 
@@ -673,10 +679,15 @@ class CatEnv:
         metrics["Episode/reward"] = state.acc_rew / cnt
         metrics["Episode/length"] = state.acc_len / cnt
         metrics["Episode/count"] = state.acc_count
+        # termination-cause fractions of finished episodes (diagnoses e.g.
+        # the post-curriculum episode-length decline: which cause rises)
+        metrics["Episode/terminated_contact_frac"] = state.acc_term[0] / cnt
+        metrics["Episode/terminated_upside_down_frac"] = state.acc_term[1] / cnt
+        metrics["Episode/timed_out_frac"] = state.acc_term[2] / cnt
         nt = self.cset.n_terms
         state = state._replace(
             acc_viol=jnp.zeros(nt), acc_prob=jnp.zeros(nt),
             acc_rew=jnp.zeros(()), acc_len=jnp.zeros(()),
-            acc_count=jnp.zeros(()),
+            acc_count=jnp.zeros(()), acc_term=jnp.zeros(3),
         )
         return state, metrics

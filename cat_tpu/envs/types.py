@@ -71,3 +71,7 @@ class EnvState(NamedTuple):
     # END with a default so round-1 checkpoints (pickled NamedTuples) still
     # unpickle; checkpoint.restore fills None from the caller's template.
     com_offset: jnp.ndarray = None   # (N, nbody, 3) body-frame CoM shift (DR)
+    acc_term: jnp.ndarray = None     # (3,) episodes ended by [illegal
+                                     # contact, upside_down, timeout]
+                                     # (termination-cause split; priority
+                                     # contact > upside > timeout)

@@ -90,11 +90,16 @@ def host_local_to_global(mesh: Mesh, tree, num_envs: int):
     env axis across processes; everything else (params, counters, running
     stats) must be identical on every host and is replicated.
     """
-    n_local = num_envs // jax.process_count()
+    from cat_tpu.parallel.mesh import _specs_for
 
-    def place(x):
+    n_local = num_envs // jax.process_count()
+    # structure-aware specs (TrainState params etc. replicated by NAME, so a
+    # parameter whose width happens to equal the env count is not sharded)
+    specs = _specs_for(tree, n_local)
+
+    def place(x, s):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] == n_local:
+        if s == P(ENV_AXIS):
             sharding = NamedSharding(mesh, P(ENV_AXIS))
             global_shape = (num_envs,) + x.shape[1:]
             return jax.make_array_from_process_local_data(
@@ -104,4 +109,4 @@ def host_local_to_global(mesh: Mesh, tree, num_envs: int):
             NamedSharding(mesh, P()), x, x.shape
         )
 
-    return jax.tree.map(place, tree)
+    return jax.tree.map(place, tree, specs)

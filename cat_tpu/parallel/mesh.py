@@ -33,13 +33,32 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (ENV_AXIS,))
 
 
+# TrainState fields that are replicated BY STRUCTURE, not by shape: a
+# network bias of width == num_envs (e.g. the 128-wide Dense_2 at 128 envs)
+# would fool the leading-dim heuristic into batch-sharding a parameter.
+_REPLICATED_TS_FIELDS = frozenset(
+    ["params", "opt_state", "obs_rms", "value_rms", "iteration", "lr", "key"]
+)
+
+
 def _specs_for(tree, num_envs: int):
     """P('env') for leaves whose leading dim is the global env count, else P()
-    (replicated): params, running stats, counters."""
+    (replicated). TrainState fields are classified by name (params/opt/rms/
+    counters replicated; only the next_* rollout carries are batched)."""
+    from cat_tpu.rl.ppo import TrainState
+
     def spec(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == num_envs:
             return P(ENV_AXIS)
         return P()
+
+    if isinstance(tree, TrainState):
+        return TrainState(*[
+            jax.tree.map(lambda _: P(), getattr(tree, f))
+            if f in _REPLICATED_TS_FIELDS
+            else jax.tree.map(spec, getattr(tree, f))
+            for f in tree._fields
+        ])
     return jax.tree.map(spec, tree)
 
 

@@ -99,6 +99,15 @@ def main():
 
     run_name = args.run_name or time.strftime("%Y-%m-%d_%H-%M-%S")
     run_path = os.path.join(args.logdir, args.agent, args.task, run_name)
+    def _json_default(o):
+        # terrain cfgs embed numpy arrays (the heightfield grid): summarize
+        # instead of dumping megabytes of grid data into config.json
+        if isinstance(o, np.ndarray):
+            return {"ndarray_shape": list(o.shape), "dtype": str(o.dtype)}
+        if isinstance(o, (np.integer, np.floating)):
+            return o.item()
+        return str(o)
+
     if dist.is_host0:
         os.makedirs(run_path, exist_ok=True)
         with open(os.path.join(run_path, "config.json"), "w") as f:
@@ -109,7 +118,7 @@ def main():
                  "env_cfg": dataclasses.asdict(env.cfg),
                  "devices": mesh.size,
                  "processes": dist.num_processes},
-                f, indent=1,
+                f, indent=1, default=_json_default,
             )
     logger = MetricLogger(run_path) if dist.is_host0 else None
 

@@ -92,8 +92,16 @@ def main():
         )
         for ndev, n, ms, sps, eff, _ in rows:
             f.write(f"| {ndev} | {n} | {ms:.1f} | {sps:.0f} | {eff:.2f} |\n")
+        ncores = os.cpu_count()
         f.write(
-            "\nReal-chip per-device anchor: see BENCH_r*.json (bench.py, "
+            f"\nCAVEAT: the {ncores} physical host cores are OVERSUBSCRIBED "
+            "by the virtual devices (they time-share the same CPUs), so the "
+            "efficiency column measures correctness + collective overhead "
+            "structure, NOT hardware scaling — on a physical TPU slice each "
+            "mesh device is a real chip and the env-sharded program has one "
+            "gradient psum per minibatch as its only cross-chip traffic "
+            "(~0.4 MB of MLP grads over ICI).\n\n"
+            "Real-chip per-device anchor: see BENCH_r*.json (bench.py, "
             "one physical TPU chip). Multi-host (DCN) path: "
             "tools/multihost_smoke.py (2 processes x 4 devices).\n"
         )
