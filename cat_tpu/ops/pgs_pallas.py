@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -53,6 +54,30 @@ def pick_tile(nc: int, nv: int) -> int:
     return 32
 
 
+def contact_row_dofs(model, anc_mask) -> tuple:
+    """Static per-row nonzero dof sets of the contact Jacobian E.
+
+    Terrain rows touch base(0..5) + the owning body's ancestor joints; pair
+    rows touch base + the union of both bodies' ancestor joints (the base
+    angular columns of a relative Jacobian do not cancel). Exact: the
+    ancestor mask multiplies the remaining columns to zero.
+    """
+    m = np.asarray(anc_mask) != 0
+    rows = []
+
+    def ks_for(mask_row):
+        return tuple(range(6)) + tuple(
+            6 + j for j in range(mask_row.shape[0]) if mask_row[j]
+        )
+
+    for c in range(model.ncand_terrain):
+        rows += [ks_for(m[model.cand_body[c]])] * 3
+    for p in range(model.npair):
+        mr = m[model.pair_body_a[p]] | m[model.pair_body_b[p]]
+        rows += [ks_for(mr)] * 3
+    return tuple(rows)
+
+
 def _pgs_kernel(
     E_ref,        # (3nc, nv, TILE_N)
     W_ref,        # (nv, 3nc, TILE_N)  = M^-1 E^T
@@ -68,6 +93,7 @@ def _pgs_kernel(
     nv: int,
     iterations: int,
     cfm: float,
+    row_dofs: tuple = None,
 ):
     n3 = 3 * nc
     tile_n = E_ref.shape[-1]
@@ -77,9 +103,15 @@ def _pgs_kernel(
     # of A_scratch at nc=36 — the BENCH_r02 scoped-VMEM OOM). Accumulate
     # each row block with a (n3, tile) temp and store it straight into
     # scratch instead.
+    #
+    # row_dofs[r] (static) lists the velocity dofs with NONZERO E[r, k]:
+    # a quadruped contact row touches base(6) + one or two 3-dof legs, so
+    # skipping the exactly-zero k terms halves the assembly's serial VPU
+    # work — the dominant kernel cost alongside the PGS sweep.
     for r in range(n3):
-        acc = E_ref[r, 0, :][None, :] * W_ref[0, :, :]
-        for k in range(1, nv):
+        ks = tuple(range(nv)) if row_dofs is None else row_dofs[r]
+        acc = E_ref[r, ks[0], :][None, :] * W_ref[ks[0], :, :]
+        for k in ks[1:]:
             acc = acc + E_ref[r, k, :][None, :] * W_ref[k, :, :]
         A_scratch[r] = acc
 
@@ -139,7 +171,7 @@ def pgs_solve_batched(
     lam0: jnp.ndarray,     # (N, nc, 3)
     *,
     nc: int, nv: int, iterations: int = 8, cfm: float = 1e-4,
-    interpret: bool = False,
+    interpret: bool = False, row_dofs: tuple = None,
 ) -> jnp.ndarray:
     """Batched PGS via the Pallas kernel (env-leading layout wrapper).
 
@@ -159,6 +191,7 @@ def pgs_solve_batched(
     lam_t = pgs_solve_lanes(
         E_t, W_t, b_t, bias_t, active_t, mu_t, lam0_t,
         nc=nc, nv=nv, iterations=iterations, cfm=cfm, interpret=interpret,
+        row_dofs=row_dofs,
     )
     return lam_t.T.reshape(N, nc, 3)
 
@@ -173,7 +206,7 @@ def pgs_solve_lanes(
     lam0_t: jnp.ndarray,   # (3nc, N)
     *,
     nc: int, nv: int, iterations: int = 8, cfm: float = 1e-4,
-    interpret: bool = False,
+    interpret: bool = False, row_dofs: tuple = None,
 ) -> jnp.ndarray:
     """Native-layout entry: no transposes in or out. Returns lam (3nc, N).
 
@@ -198,7 +231,8 @@ def pgs_solve_lanes(
     grid = (Np // tile,)
 
     kernel = functools.partial(
-        _pgs_kernel, nc=nc, nv=nv, iterations=iterations, cfm=cfm
+        _pgs_kernel, nc=nc, nv=nv, iterations=iterations, cfm=cfm,
+        row_dofs=row_dofs,
     )
     lam_t = pl.pallas_call(
         kernel,

@@ -214,6 +214,7 @@ def _substep_lanes(
             E, W, b, bias, active, mu[None, :], sT.lam,
             nc=model.ncand, nv=model.nv,
             iterations=sp.iterations, cfm=sp.cfm,
+            row_dofs=pgs_pallas.contact_row_dofs(model, anc_mask),
         )
     else:
         lam_t = _pgs_lanes_xla(

@@ -55,3 +55,61 @@ def test_pallas_kernel_matches_reference():
     np.testing.assert_allclose(
         np.asarray(lam_pal), np.stack(lam_refs), rtol=2e-4, atol=2e-5
     )
+
+
+@pytest.mark.slow
+def test_row_dofs_sparse_assembly_matches_dense():
+    """Static row-sparsity (contact_row_dofs) must be exact: zeroing the
+    masked E columns and passing their dof sets gives identical impulses
+    to the dense kernel."""
+    from cat_tpu.ops import pgs_pallas
+
+    rng = np.random.default_rng(1)
+    nc, nv = 4, 10
+    N = pgs_pallas.TILE_N
+    params = SolverParams(iterations=5)
+    h = 0.005
+
+    # per-row dof sets: base(0..3) + one of two "legs"
+    sets = [
+        (0, 1, 2, 3, 4, 5, 6),
+        (0, 1, 2, 3, 7, 8, 9),
+    ]
+    row_dofs = tuple(sets[i % 2] for i in range(nc) for _ in range(3))
+
+    Es, Ws, bs, phis = [], [], [], []
+    mu = np.full(N, 0.7, dtype=np.float32)
+    for i in range(N):
+        J, minvJt, A, b, phi, lam0 = _random_problem(rng, nc, nv)
+        # impose the sparsity pattern on J's rows
+        for r in range(3 * nc):
+            keep = np.zeros(nv, np.float32)
+            keep[list(row_dofs[r])] = 1.0
+            J[r] *= keep
+        Es.append(J); phis.append(phi)
+    # rebuild W/b from the sparsified J with a fresh SPD mass matrix
+    Mchol = rng.normal(size=(nv, nv)).astype(np.float32)
+    M = Mchol @ Mchol.T + nv * np.eye(nv, dtype=np.float32)
+    Minv = np.linalg.inv(M).astype(np.float32)
+    v = rng.normal(size=nv).astype(np.float32)
+    Ws = [(Minv @ J.T).astype(np.float32) for J in Es]
+    bs = [J @ v for J in Es]
+
+    phi_all = np.stack(phis)
+    bias = np.maximum(
+        (params.erp / h) * np.minimum(phi_all + params.slop, 0.0),
+        -params.max_depen_vel,
+    )
+    active = (phi_all < params.margin).astype(np.float32)
+
+    def run(rd):
+        return np.asarray(pgs_pallas.pgs_solve_batched(
+            jnp.asarray(np.stack(Es)), jnp.asarray(np.stack(Ws)),
+            jnp.asarray(np.stack(bs)), jnp.asarray(bias),
+            jnp.asarray(active), jnp.asarray(mu),
+            jnp.zeros((N, nc, 3), jnp.float32),
+            nc=nc, nv=nv, iterations=params.iterations, cfm=params.cfm,
+            interpret=True, row_dofs=rd,
+        ))
+
+    np.testing.assert_allclose(run(row_dofs), run(None), rtol=1e-6, atol=1e-7)
