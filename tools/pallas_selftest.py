@@ -77,6 +77,8 @@ def main():
             E, W, b, bias, active, mu[None, :], lam0,
             nc=model.ncand, nv=model.nv,
             iterations=sp.iterations, cfm=sp.cfm,
+            # production config: static row-sparse Delassus assembly
+            row_dofs=pgs_pallas.contact_row_dofs(model, anc),
         )
     )
     xla_fn = jax.jit(
