@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +62,32 @@ class CommandsCfg:
     velocity_deadzone: float = 0.1
 
 
+class EventTerm(NamedTuple):
+    """A config-extensible event term (Isaac Lab EventManager mode parity,
+    reference cat_flat_env_cfg.py:182-239 `mode="startup"/"reset"/"interval"`).
+
+    The built-in recipe events (friction buckets, reset randomization,
+    pushes, CoM shifts) stay first-class cfg fields below; `extra_terms`
+    lets a task add events without touching the env, with the same three
+    firing modes. Pure-function signatures (all batched, key-threaded):
+
+      startup : func(key, n, model, **params) -> dict of EnvState field
+                updates (e.g. {"mu": ..., "com_offset": ...}); applied once
+                in init().
+      reset   : func(key, sim: SimState, rmask (N,) bool, model, **params)
+                -> SimState; applied after the masked auto-reset merge, so
+                it sees freshly-reset envs (guard updates with rmask).
+      interval: func(key, sim: SimState, state: EnvState, cfg, **params)
+                -> SimState; applied every control step at the same point
+                as the built-in push event (after resets, before
+                observations — the reference's interval slot).
+    """
+    name: str
+    mode: str
+    func: Callable
+    params: Dict = {}
+
+
 @dataclasses.dataclass(frozen=True)
 class EventsCfg:
     """Domain randomization (cat_flat_env_cfg.py:182-239, mdp/events.py)."""
@@ -81,6 +107,8 @@ class EventsCfg:
     # default is 0 (off); set >0 for DR-parity experiments.
     com_displacement: float = 0.0
     com_bodies: Tuple[str, ...] = (".*",)
+    # additional EventTerm entries (any mode); fired alongside the built-ins
+    extra_terms: Tuple[EventTerm, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -350,6 +378,12 @@ class CatEnv:
             acc_rew=jnp.zeros(()), acc_len=jnp.zeros(()),
             acc_count=jnp.zeros(()), acc_term=jnp.zeros(3),
         )
+        # extensible startup events (EventTerm mode="startup")
+        for i, t in enumerate(ev.extra_terms):
+            if t.mode == "startup":
+                updates = t.func(jax.random.fold_in(k_rst, 1000 + i), n,
+                                 self.model, **t.params)
+                state = state._replace(**updates)
         return state
 
     def _patch_origins(self, row: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
@@ -534,6 +568,12 @@ class CatEnv:
             ),
             fresh_sim, sim,
         )
+        # extensible reset events (EventTerm mode="reset"): fire on the
+        # merged state so they see freshly-reset envs (guarded by rmask)
+        for i, t in enumerate(cfg.events.extra_terms):
+            if t.mode == "reset":
+                sim = t.func(jax.random.fold_in(ks[0], 100 + i), sim,
+                             rmask, self.model, **t.params)
         episode_len = jnp.where(rmask, 0, episode_len)
         episode_viol = jnp.where(rmask[:, None], 0.0, episode_viol)
         episode_prob = jnp.where(rmask[:, None], 0.0, episode_prob)
@@ -564,6 +604,12 @@ class CatEnv:
             new_qvel = sim.qvel.at[:, 0:2].set(push_vel).at[:, 2:6].set(0.0)
             qvel = jnp.where(push[:, None], new_qvel, sim.qvel)
             sim = sim._replace(qvel=qvel)
+        # extensible interval events (EventTerm mode="interval"): the same
+        # firing slot as the push (after resets, before observations)
+        for i, t in enumerate(cfg.events.extra_terms):
+            if t.mode == "interval":
+                sim = t.func(jax.random.fold_in(ks[5], 200 + i), sim,
+                             state, cfg, **t.params)
 
         # 9. observations (cat_flat_env_cfg.py:140-176; order + scales + noise)
         data = self._step_data(sim, command, action, prev_action)
