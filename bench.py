@@ -63,6 +63,9 @@ def main():
                 "value": round(sps, 1),
                 "unit": "env_steps/s",
                 "vs_baseline": round(sps / BASELINE_R1_STEPS_PER_SEC, 3),
+                # which anchor the ratio used (vs_baseline semantics changed
+                # in r3 from an invented GPU figure to the measured r1 number)
+                "baseline": f"BENCH_r01:{BASELINE_R1_STEPS_PER_SEC:.0f}",
             }
         )
     )

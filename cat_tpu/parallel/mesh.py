@@ -33,12 +33,14 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (ENV_AXIS,))
 
 
-# TrainState fields that are replicated BY STRUCTURE, not by shape: a
-# network bias of width == num_envs (e.g. the 128-wide Dense_2 at 128 envs)
-# would fool the leading-dim heuristic into batch-sharding a parameter.
-_REPLICATED_TS_FIELDS = frozenset(
-    ["params", "opt_state", "obs_rms", "value_rms", "iteration", "lr", "key"]
-)
+# TrainState fields that are env-batched BY STRUCTURE, not by shape: these
+# three rollout carries are the ONLY deliberately sharded TrainState leaves;
+# everything else (params/opt/rms/counters — and any field added later) is
+# replicated by default, so a network bias of width == num_envs (e.g. the
+# 128-wide Dense_2 at 128 envs) can never fool the leading-dim heuristic
+# into batch-sharding a parameter, and a future replicated field cannot
+# silently fall back to the heuristic.
+_BATCHED_TS_FIELDS = frozenset(["next_obs", "next_done", "next_true_done"])
 
 
 def _specs_for(tree, num_envs: int):
@@ -53,10 +55,13 @@ def _specs_for(tree, num_envs: int):
         return P()
 
     if isinstance(tree, TrainState):
+        assert _BATCHED_TS_FIELDS <= set(TrainState._fields), (
+            _BATCHED_TS_FIELDS, TrainState._fields
+        )
         return TrainState(*[
-            jax.tree.map(lambda _: P(), getattr(tree, f))
-            if f in _REPLICATED_TS_FIELDS
-            else jax.tree.map(spec, getattr(tree, f))
+            jax.tree.map(spec, getattr(tree, f))
+            if f in _BATCHED_TS_FIELDS
+            else jax.tree.map(lambda _: P(), getattr(tree, f))
             for f in tree._fields
         ])
     return jax.tree.map(spec, tree)

@@ -46,11 +46,13 @@ def skrl(num_envs: int = 4096) -> PpoCfg:
     num_envs*24/4), lr 1e-3 under KLAdaptiveLR (kl_threshold .01), ratio/
     value clip .2, entropy 5e-3, value_loss_scale 1.0, grad clip 1.0,
     shared [512,256,128] elu trunk, trainer timesteps 48000 (= 2000 iters
-    of 24).
+    of 24). KLAdaptiveLR steps once per EPOCH on the epoch-mean KL
+    (skrl/ppo.py:476,558-567) — lr_mode="adaptive_kl_epoch", unlike
+    rl_games' per-minibatch AdaptiveScheduler.
     """
     return PpoCfg(
         learning_rate=1.0e-3,
-        lr_mode="adaptive_kl",
+        lr_mode="adaptive_kl_epoch",
         kl_target=0.01,
         minibatch_size=num_envs * 24 // 4,
         ent_coef=0.005,

@@ -63,7 +63,14 @@ class PpoCfg:
     save_interval: int = 50
     hidden: Tuple[int, ...] = (512, 256, 128)
     # backend variants (C16-C21 parity)
-    lr_mode: str = "auto"         # auto | linear | constant | adaptive_kl
+    # auto | linear | constant | adaptive_kl | adaptive_kl_epoch:
+    #   adaptive_kl       — per-MINIBATCH lr step (rl_games AdaptiveScheduler,
+    #                       invoked inside train_actor_critic per update)
+    #   adaptive_kl_epoch — one lr step per EPOCH on that epoch's mean KL
+    #                       (skrl KLAdaptiveLR semantics, skrl/ppo.py:558-567:
+    #                       kl_divergences reset each epoch at 476, mean +
+    #                       distributed all-reduce, then scheduler.step)
+    lr_mode: str = "auto"
     kl_target: float = 0.008      # rl_games kl .008 / skrl kl .01
     lr_min: float = 1.0e-6        # AdaptiveScheduler bounds (rl_games defaults)
     lr_max: float = 1.0e-2
@@ -311,6 +318,14 @@ class PPO:
                 sgd_step, (params, opt_state, lr, perm_data),
                 jnp.arange(n_minibatches),
             )
+            if mode == "adaptive_kl_epoch":
+                # skrl: one step per epoch on the epoch-mean KL. Each
+                # minibatch KL in stats is already pmean'd across chips, so
+                # the mean over minibatches equals skrl's all-reduced mean.
+                lr = adaptive_kl_lr(
+                    lr, jnp.mean(stats[4]), cfg.kl_target,
+                    cfg.lr_min, cfg.lr_max,
+                )
             return (params, opt_state, lr), stats
 
         key, k_perm = jax.random.split(key)

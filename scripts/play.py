@@ -52,29 +52,29 @@ def main():
     out_dir = args.out or args.run_dir
     export_policy(ppo, ts, out_dir)
 
-    @jax.jit
-    def act(ts, obs):
-        mean, _, _ = ppo.net.apply(ts.params, obs)
-        return mean
-
-    @jax.jit
-    def step(es, a):
-        return env.step(es, a)
-
     from cat_tpu.rl.normalize import rms_normalize
-    obs = first_obs
-    traj = []
-    rews = []
-    for _ in range(args.steps):
-        a = act(ts, rms_normalize(ts.obs_rms, obs))
-        es, obs, reward, dones, _ = step(es, a)
-        traj.append(np.asarray(es.sim.qpos))
-        rews.append(float(reward.mean()))
+
+    # lax.scan rollout: ONE dispatch for the whole playback (~1 ms/dispatch
+    # on tunneled rigs makes a host loop needlessly slow) and it exercises
+    # the same scanned code path the trainer and the export smoke use.
+    @jax.jit
+    def rollout(ts, es, obs):
+        def one(carry, _):
+            es, obs = carry
+            mean, _, _ = ppo.net.apply(ts.params, rms_normalize(ts.obs_rms, obs))
+            es, obs, reward, _, _ = env.step(es, mean)
+            return (es, obs), (es.sim.qpos, jnp.mean(reward))
+        (es, obs), (qpos, rew) = jax.lax.scan(
+            one, (es, obs), None, length=args.steps
+        )
+        return qpos, rew
+
+    qpos, rews = jax.device_get(rollout(ts, es, first_obs))
     np.savez_compressed(
         os.path.join(out_dir, "play_traj.npz"),
-        qpos=np.stack(traj), reward=np.array(rews),
+        qpos=qpos, reward=rews,
     )
-    print(f"mean reward/step {np.mean(rews):.4f}; "
+    print(f"mean reward/step {float(np.mean(rews)):.4f}; "
           f"trajectory saved to {out_dir}/play_traj.npz")
 
 

@@ -37,6 +37,12 @@ def parse_args():
     p.add_argument("--single_chip", action="store_true")
     p.add_argument("--checkpoint", default=None, help="resume path")
     p.add_argument(
+        "--writer", default="tensorboard",
+        choices=["tensorboard", "wandb", "none"],
+        help="metric writer on top of JSONL (reference cleanrl/ppo.py:127-138"
+             " TB-or-W&B switch)",
+    )
+    p.add_argument(
         "--override", nargs="*", default=[],
         help="agent cfg overrides key=value (e.g. learning_rate=1e-4)",
     )
@@ -120,7 +126,9 @@ def main():
                  "processes": dist.num_processes},
                 f, indent=1, default=_json_default,
             )
-    logger = MetricLogger(run_path) if dist.is_host0 else None
+    logger = (
+        MetricLogger(run_path, writer=args.writer) if dist.is_host0 else None
+    )
 
     ppo, build = pmesh.make_train_fn(env, agent_cfg, mesh)
     if dist.num_processes > 1:

@@ -93,3 +93,56 @@ def test_constraint_table():
     assert "max_p" in s and "Curriculum" in s
     # one row per term + header/separators
     assert len(s.splitlines()) == len(env.cset.terms) + 5
+
+
+def test_wandb_writer_option(tmp_path, monkeypatch):
+    """MetricLogger writer="wandb" (reference cleanrl/ppo.py:127-138 W&B
+    branch): drives a fake wandb module (no network in this image) and
+    degrades to JSONL-only when the package is missing."""
+    import json
+    import sys
+    import types
+
+    from cat_tpu.utils.logging import MetricLogger
+
+    calls = {"init": [], "log": [], "finish": 0}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls["init"].append(kw)
+    fake.log = lambda d, step=None: calls["log"].append((d, step))
+
+    def _fin():
+        calls["finish"] += 1
+
+    fake.finish = _fin
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    lg = MetricLogger(str(tmp_path / "r1"), writer="wandb",
+                      wandb_init_kwargs={"project": "cat"})
+    lg.log({"Episode/reward": 1.5}, step=3)
+    lg.close()
+    assert calls["init"][0]["project"] == "cat"
+    assert calls["log"] == [({"Episode/reward": 1.5}, 3)]
+    assert calls["finish"] == 1
+    with open(tmp_path / "r1" / "metrics.jsonl") as f:
+        rec = json.loads(f.readline())
+    assert rec == {"step": 3, "Episode/reward": 1.5}
+
+    # missing package: no crash, JSONL still written
+    monkeypatch.delitem(sys.modules, "wandb")
+    monkeypatch.setattr("builtins.__import__", _blocked_import("wandb"))
+    lg2 = MetricLogger(str(tmp_path / "r2"), writer="wandb")
+    lg2.log({"a": 1.0}, step=1)
+    lg2.close()
+    with open(tmp_path / "r2" / "metrics.jsonl") as f:
+        assert json.loads(f.readline())["a"] == 1.0
+
+
+def _blocked_import(name):
+    real = __import__
+
+    def imp(mod, *a, **k):
+        if mod == name:
+            raise ImportError(f"{name} blocked for test")
+        return real(mod, *a, **k)
+
+    return imp

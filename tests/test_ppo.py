@@ -211,3 +211,36 @@ def test_adaptive_kl_lr_pinned_trajectory():
     assert float(adaptive_kl_lr(jnp.float32(1.2e-6), 0.5, tgt, lo, hi)) == (
         np.float32(lo)
     )
+
+
+@pytest.mark.slow
+def test_skrl_epoch_lr_vs_rl_games_minibatch_lr():
+    """Pin the adaptation CADENCE: skrl's KLAdaptiveLR steps once per EPOCH
+    on the epoch-mean KL (skrl/ppo.py:476,558-567), rl_games' Adaptive-
+    Scheduler steps once per MINIBATCH. With kl_target huge every step is a
+    *1.5 growth (uncapped), so after one iteration the lr must be exactly
+    lr0 * 1.5^epochs (skrl rule) vs lr0 * 1.5^(epochs*minibatches)
+    (rl_games rule) — the step-count IS the semantic difference."""
+    n = 8
+    env = _small_env(n)
+    base = dataclasses.replace(
+        _small_cfg(n), updates_epochs=2, kl_target=1e3, lr_max=1e6,
+    )
+    n_minibatches = (n * base.num_steps) // base.minibatch_size
+    assert n_minibatches == 2
+    lrs = {}
+    for mode in ("adaptive_kl", "adaptive_kl_epoch"):
+        cfg = dataclasses.replace(base, lr_mode=mode)
+        ppo = PPO(env, cfg)
+        es = env.init(jax.random.PRNGKey(0), n)
+        obs = jax.jit(env.observe)(es)
+        ts = ppo.init(jax.random.PRNGKey(1), es, obs)
+        ts, es, _ = jax.jit(ppo.train_iteration)(ts, es)
+        lrs[mode] = float(ts.lr)
+    lr0 = base.learning_rate
+    np.testing.assert_allclose(
+        lrs["adaptive_kl"], lr0 * 1.5 ** (2 * 2), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        lrs["adaptive_kl_epoch"], lr0 * 1.5 ** 2, rtol=1e-5
+    )
