@@ -85,7 +85,7 @@ class EventTerm(NamedTuple):
     name: str
     mode: str
     func: Callable
-    params: Dict = {}
+    params: Optional[Dict] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -382,7 +382,7 @@ class CatEnv:
         for i, t in enumerate(ev.extra_terms):
             if t.mode == "startup":
                 updates = t.func(jax.random.fold_in(k_rst, 1000 + i), n,
-                                 self.model, **t.params)
+                                 self.model, **(t.params or {}))
                 state = state._replace(**updates)
         return state
 
@@ -429,7 +429,11 @@ class CatEnv:
         qj = jnp.asarray(model.default_qpos_joints)[None, :] * scale
         qj = jnp.clip(qj, jnp.asarray(model.joint_limit_lower),
                       jnp.asarray(model.joint_limit_upper))
-        z = jnp.full((n, 1), model.default_base_pos[2])
+        # spawn ABOVE the local terrain: patches' spawn pads sit at the
+        # patch's platform height (terrain.generate_rough), not at z=0, so
+        # the base z offset rides on a terrain height query (flat: +0).
+        h0 = terrain_mod.height_at(self.cfg.terrain, xy)
+        z = (model.default_base_pos[2] + h0)[:, None]
         qpos = jnp.concatenate([xy, z, quat, qj], axis=1).astype(jnp.float32)
         base = engine_mod.init_state(model)
         batched = jax.tree.map(
@@ -442,8 +446,14 @@ class CatEnv:
         data = self._step_data(
             state.sim, state.command, state.action, state.prev_action
         )
+        # mix ALL per-env seeds into the noise key (not just seed[0]): under
+        # sharding each shard's seed slice differs, so shards decorrelate even
+        # when observe runs outside shard_map on the global batch.
+        seed_mix = jax.lax.reduce(
+            state.seed, jnp.uint32(0), jax.lax.bitwise_xor, (0,)
+        )
         k = jax.random.fold_in(
-            jax.random.fold_in(jax.random.PRNGKey(state.seed[0]),
+            jax.random.fold_in(jax.random.PRNGKey(seed_mix),
                                state.common_step), 777
         )
         return self._observations(data, k)
@@ -550,7 +560,12 @@ class CatEnv:
                 jnp.linalg.norm(state.command[:, :2], axis=1)
                 * cfg.episode_length_s
             )
-            move_up = time_out & (dist > 0.5 * required)
+            # promote walkers that covered at least half their commanded
+            # distance (standing envs, required ~ 0, are excluded — they
+            # would otherwise promote on every survived episode); demote
+            # envs that covered under a quarter (standing envs never do:
+            # dist < 0 is false).
+            move_up = time_out & (dist > 0.5 * required) & (required > 0.5)
             move_down = dist < 0.25 * required
             new_row = jnp.clip(
                 trow + move_up.astype(jnp.int32) - move_down.astype(jnp.int32),
@@ -573,7 +588,7 @@ class CatEnv:
         for i, t in enumerate(cfg.events.extra_terms):
             if t.mode == "reset":
                 sim = t.func(jax.random.fold_in(ks[0], 100 + i), sim,
-                             rmask, self.model, **t.params)
+                             rmask, self.model, **(t.params or {}))
         episode_len = jnp.where(rmask, 0, episode_len)
         episode_viol = jnp.where(rmask[:, None], 0.0, episode_viol)
         episode_prob = jnp.where(rmask[:, None], 0.0, episode_prob)
@@ -609,7 +624,7 @@ class CatEnv:
         for i, t in enumerate(cfg.events.extra_terms):
             if t.mode == "interval":
                 sim = t.func(jax.random.fold_in(ks[5], 200 + i), sim,
-                             state, cfg, **t.params)
+                             state, cfg, **(t.params or {}))
 
         # 9. observations (cat_flat_env_cfg.py:140-176; order + scales + noise)
         data = self._step_data(sim, command, action, prev_action)
@@ -730,6 +745,12 @@ class CatEnv:
         metrics["Episode/terminated_contact_frac"] = state.acc_term[0] / cnt
         metrics["Episode/terminated_upside_down_frac"] = state.acc_term[1] / cnt
         metrics["Episode/timed_out_frac"] = state.acc_term[2] / cnt
+        if self.cfg.terrain.kind == "hfield":
+            # mean difficulty row currently assigned (Isaac Lab's
+            # Curriculum/terrain_levels gauge; rises as envs get promoted)
+            metrics["Curriculum/terrain_levels"] = jnp.mean(
+                state.terrain_row.astype(jnp.float32)
+            )
         nt = self.cset.n_terms
         state = state._replace(
             acc_viol=jnp.zeros(nt), acc_prob=jnp.zeros(nt),

@@ -101,7 +101,12 @@ def detect_pair_contacts(model: RobotModel, kin: Kin, anc_mask: np.ndarray):
     # when the axes are also near-parallel).
     cr = jnp.cross(d1, d2)
     crn = jnp.linalg.norm(cr, axis=-1, keepdims=True)
-    sign = jnp.where(jnp.sum(cr * delta, axis=-1, keepdims=True) >= 0.0,
+    # sign tie-break from the segment MIDPOINT difference, not delta: delta
+    # is near-zero exactly where the fallback applies, so its sign is noise
+    # and can flip the normal between substeps; midpoints of two distinct
+    # capsules are well separated, giving a stable per-pair direction.
+    ref = 0.5 * (p0a + p1a) - 0.5 * (p0b + p1b)
+    sign = jnp.where(jnp.sum(cr * ref, axis=-1, keepdims=True) >= 0.0,
                      1.0, -1.0)
     n_fb = jnp.where(crn > 1e-6, sign * cr / (crn + 1e-12),
                      jnp.array([0.0, 0.0, 1.0]))
@@ -165,10 +170,11 @@ def detect_contacts(
             return _append_pairs(model, kin, anc_mask, phi, J, None, surf, vel)
         return Contacts(pos=surf, phi=phi, vel=vel, J=J, frame=None)
 
-    # heightfield: vertical gap scaled by normal z (approx signed distance)
-    h = terrain_mod.height_at(terrain, x[:, :2])
-    n = terrain_mod.normal_at(terrain, x[:, :2])    # (nct, 3)
-    phi = (x[:, 2] - h) * n[:, 2] - rad
+    # heightfield: deepest-of-5-columns tangent-plane gap (robust near steep
+    # faces/step edges — terrain.surface_gap; replaces the vertical-gap
+    # approximation that missed walls)
+    d, n = terrain_mod.surface_gap(terrain, x, rad)
+    phi = d - rad
     # contact frame rows (t1, t2, n): t1 = ex projected off n
     ex = jnp.array([1.0, 0.0, 0.0])
     t1 = ex[None, :] - n * n[:, 0:1]

@@ -477,7 +477,9 @@ def detect_pair_contacts_lanes(model: RobotModel, kin: KinL,
     # to +-cross(d1, d2) when the axes (nearly) intersect, ez if parallel.
     cr = cross_l(d1, d2)
     crn = jnp.sqrt(dot(cr, cr))[:, None, :]                   # (np, 1, N)
-    sgn = jnp.where(dot(cr, delta)[:, None, :] >= 0.0, 1.0, -1.0)
+    # midpoint-difference sign tie-break (see collision.detect_pair_contacts)
+    ref = 0.5 * (p0a + p1a) - 0.5 * (p0b + p1b)
+    sgn = jnp.where(dot(cr, ref)[:, None, :] >= 0.0, 1.0, -1.0)
     ez_fb = jnp.zeros((npair, 3, N)).at[:, 2, :].set(1.0)
     n_fb = jnp.where(crn > 1e-6, sgn * cr / (crn + eps), ez_fb)
     n = jnp.where((dist > 1e-3)[:, None, :], delta / dist[:, None, :], n_fb)
@@ -521,11 +523,11 @@ def detect_contacts_lanes(model: RobotModel, terrain: Terrain, kin: KinL,
         frame = None
         Jc = J
     else:
-        xy = jnp.stack([x[:, 0, :], x[:, 1, :]], axis=-1)      # (nc, N, 2)
-        h = terrain_mod.height_at(terrain, xy)                 # (nc, N)
-        n = terrain_mod.normal_at(terrain, xy)                 # (nc, N, 3)
+        p = jnp.moveaxis(x, 1, -1)                             # (nc, N, 3)
+        # deepest-of-5-columns tangent-plane gap (terrain.surface_gap)
+        d, n = terrain_mod.surface_gap(terrain, p, rad[:, None])
         n = jnp.moveaxis(n, -1, 1)                             # (nc, 3, N)
-        phi = (x[:, 2, :] - h) * n[:, 2, :] - rad[:, None]
+        phi = d - rad[:, None]
         ex = jnp.zeros((nc, 3, N)).at[:, 0, :].set(1.0)
         t1 = ex - n * n[:, 0:1, :]
         t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1, axis=1))[:, None, :]

@@ -12,12 +12,31 @@ from __future__ import annotations
 
 import dataclasses
 
-from cat_tpu.envs.env import CatEnv, EnvCfg, HeightScanCfg, NoiseCfg
+from cat_tpu.envs.env import (
+    CatEnv, EnvCfg, HeightScanCfg, NoiseCfg, TerminationsCfg,
+)
 from cat_tpu.models.solo12 import (
     SOLO12_ACTUATED_JOINT_ORDER, SOLO12_KD, SOLO12_KP, solo12_model,
 )
 from cat_tpu.sim import terrain as terrain_mod
 from cat_tpu.tasks.solo12_flat import solo12_constraint_terms
+
+
+def rough_constraint_terms(model):
+    """Flat constraint table with rough-terrain orientation relaxation.
+
+    The flat recipe's base_orientation limit 0.1 (|g_xy|, ~5.7 deg) assumes
+    a level base on a level floor; on graded terrain the base legitimately
+    pitches with the slope (a 0.25-grade ramp alone is 14 deg), so the soft
+    limit widens to 0.3 (~17.5 deg) — the Isaac Lab rough recipe drops its
+    flat_orientation term entirely for the same reason.
+    """
+    terms = []
+    for t in solo12_constraint_terms(model):
+        if t.name == "base_orientation":
+            t = t._replace(params=dict(t.params, limit=0.3))
+        terms.append(t)
+    return terms
 
 
 def make_env(num_envs: int = 4096, play: bool = False,
@@ -33,6 +52,12 @@ def make_env(num_envs: int = 4096, play: bool = False,
         terrain=terr,
         height_scan=HeightScanCfg(),
         terrain_curriculum=True,
+        # The flat task's upside_down kill at |g_xy| > 0.1 (5.7 deg tilt,
+        # cat_flat_env_cfg.py:372-377) is unlearnable on slopes/noise (the
+        # r3 smoke died at ep_len ~9 of 500 from it); rough keeps the
+        # termination as a true fall detector at 0.7 (~44 deg) — Isaac
+        # Lab's rough velocity recipe terminates on base contact only.
+        terminations=TerminationsCfg(upside_down_limit=0.7),
     )
     if play:
         cfg = dataclasses.replace(cfg, noise=NoiseCfg(enabled=False))
@@ -40,7 +65,7 @@ def make_env(num_envs: int = 4096, play: bool = False,
     return CatEnv(
         model=model,
         cfg=cfg,
-        constraint_terms=solo12_constraint_terms(model),
+        constraint_terms=rough_constraint_terms(model),
         actuated_joint_order=SOLO12_ACTUATED_JOINT_ORDER,
         illegal_contact_bodies=("base_link", ".*_UPPER_LEG"),
     )

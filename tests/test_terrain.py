@@ -38,13 +38,25 @@ def test_hfield_normal_slopes_uphill():
 
 
 def test_generate_rough_spawn_pads_flat():
+    """Spawn pads are FLAT (at the patch's platform height — borders sit at
+    0 in the Isaac-Lab convention, so pyramid pads are elevated) and patch
+    borders join continuously at ~0."""
     t = T.generate_rough(rows=2, cols=4, patch_m=4.0, cell=0.1, seed=0)
     assert t.height.shape == (80, 160)
     for r in range(2):
         for c in range(4):
             xy = t.patch_origin(r, c)
-            v = float(T.height_at(t, jnp.asarray(xy)))
-            np.testing.assert_allclose(v, 0.0, atol=1e-5)
+            probes = xy[None, :] + np.array(
+                [[0.0, 0.0], [0.15, 0.0], [0.0, 0.15], [-0.15, -0.15]]
+            )
+            v = np.array(T.height_at(t, jnp.asarray(probes)))
+            np.testing.assert_allclose(v, v[0], atol=1e-5)  # flat pad
+    # pyramid patches (cols 1 and 2 of the 4-type cycle) have raised/sunk
+    # platforms; borders between patches stay near 0 (no inter-patch cliffs)
+    assert abs(float(T.height_at(t, jnp.asarray(t.patch_origin(1, 1))))) > 0.05
+    border = np.array([[0.0, -4.0], [0.0, 0.0], [-4.0, 0.0], [4.0, 4.0]])
+    hb = np.array(T.height_at(t, jnp.asarray(border)))
+    assert np.all(np.abs(hb) < 0.06), hb
 
 
 @pytest.mark.slow
