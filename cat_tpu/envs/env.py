@@ -177,6 +177,9 @@ class EnvCfg:
     terminations: TerminationsCfg = TerminationsCfg()
     kp: float = 4.0
     kd: float = 0.2
+    # PGS sweep count override (None = SolverParams default 5, the PhysX
+    # 4+1 budget); exposed for solver-stiffness ablations
+    solver_iterations: Optional[int] = None
     terrain: Terrain = terrain_mod.plane()
     height_scan: Optional[HeightScanCfg] = None
     terrain_curriculum: bool = False   # promote/demote difficulty rows
@@ -255,6 +258,12 @@ class CatEnv:
         params = EngineParams(
             dt=cfg.sim_dt, decimation=cfg.decimation, kp=cfg.kp, kd=cfg.kd,
         )
+        if cfg.solver_iterations is not None:
+            params = params._replace(
+                solver=params.solver._replace(
+                    iterations=cfg.solver_iterations
+                )
+            )
         self._engine_step = engine_mod.make_batched_step(
             model, params, num_envs=cfg.num_envs, terrain=cfg.terrain
         )

@@ -78,6 +78,122 @@ def contact_row_dofs(model, anc_mask) -> tuple:
     return tuple(rows)
 
 
+def _pgs_kernel_pre(
+    A_ref,        # (3nc, 3nc, TILE_N) — Delassus, assembled OUTSIDE
+    b_ref,        # (3nc, TILE_N)
+    bias_ref,     # (nc, TILE_N)
+    active_ref,   # (nc, TILE_N)
+    mu_ref,       # (1, TILE_N)
+    lam0_ref,     # (3nc, TILE_N)
+    lam_out_ref,  # (3nc, TILE_N)
+    *,
+    nc: int,
+    iterations: int,
+    cfm: float,
+):
+    """Sweep-only PGS kernel: A = E M^-1 E^T arrives pre-assembled (a
+    batched XLA matmul on the MXU), so the kernel is just the serial
+    Gauss-Seidel sweeps the MXU cannot do. Trades ~190 MB/substep of HBM
+    A-traffic at N=4096 for removing ~60% of the kernel's serial VPU work;
+    measured A/B in perf_r4.md decides which path ships (bench.py only —
+    stage timings lie on this rig)."""
+    n3 = 3 * nc
+    tile_n = A_ref.shape[-1]
+    mu = mu_ref[0, :]
+    act = [active_ref[i, :] for i in range(nc)]
+    bias = [bias_ref[i, :] for i in range(nc)]
+    brow = [b_ref[r, :] for r in range(n3)]
+    lam = [lam0_ref[3 * i + c, :] * act[i] for i in range(nc) for c in range(3)]
+
+    w = jnp.zeros((n3, tile_n), dtype=jnp.float32)
+    for r in range(n3):
+        w = w + A_ref[r] * lam[r][None, :]
+    inv_d = [1.0 / (A_ref[r, r, :] + cfm) for r in range(n3)]
+
+    for _ in range(iterations):
+        for i in range(nc):
+            k = 3 * i
+            v0 = w[k, :] + brow[k]
+            v1 = w[k + 1, :] + brow[k + 1]
+            v2 = w[k + 2, :] + brow[k + 2]
+            l0, l1, l2 = lam[k], lam[k + 1], lam[k + 2]
+            ln_new = jnp.maximum(l2 - (v2 + bias[i]) * inv_d[k + 2], 0.0)
+            ln_new = ln_new * act[i]
+            dn = ln_new - l2
+            vt1 = v0 + A_ref[k, k + 2, :] * dn
+            vt2 = v1 + A_ref[k + 1, k + 2, :] * dn
+            lt1 = l0 - vt1 * inv_d[k]
+            lt2 = l1 - vt2 * inv_d[k + 1]
+            tn = jnp.sqrt(lt1 * lt1 + lt2 * lt2 + 1e-12)
+            scale = jnp.minimum(1.0, mu * ln_new / tn) * act[i]
+            n0, n1, n2 = lt1 * scale, lt2 * scale, ln_new
+            d0, d1, d2 = n0 - l0, n1 - l1, n2 - l2
+            w = (
+                w
+                + A_ref[k] * d0[None, :]
+                + A_ref[k + 1] * d1[None, :]
+                + A_ref[k + 2] * d2[None, :]
+            )
+            lam[k], lam[k + 1], lam[k + 2] = n0, n1, n2
+
+    for r in range(n3):
+        lam_out_ref[r, :] = lam[r]
+
+
+def pgs_solve_lanes_pre(
+    A_t: jnp.ndarray,      # (3nc, 3nc, N) — pre-assembled Delassus
+    b_t: jnp.ndarray,
+    bias_t: jnp.ndarray,
+    active_t: jnp.ndarray,
+    mu_t: jnp.ndarray,
+    lam0_t: jnp.ndarray,
+    *,
+    nc: int, iterations: int = 8, cfm: float = 1e-4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sweep-only entry (A assembled by XLA on the MXU). Returns (3nc, N)."""
+    N = A_t.shape[-1]
+    n3 = 3 * nc
+    # VMEM: the A block double-buffered dominates; tile 64 fits nc=36
+    tile = 128
+    while tile > 32 and 2 * n3 * n3 * tile * 4 > _VMEM_BUDGET:
+        tile //= 2
+    pad = (-N) % tile
+    if pad:
+        A_t = jnp.pad(A_t, [(0, 0), (0, 0), (0, pad)])
+        pad2 = [(0, 0), (0, pad)]
+        b_t, bias_t = jnp.pad(b_t, pad2), jnp.pad(bias_t, pad2)
+        active_t, mu_t = jnp.pad(active_t, pad2), jnp.pad(mu_t, pad2)
+        lam0_t = jnp.pad(lam0_t, pad2)
+    Np = N + pad
+    kernel = functools.partial(
+        _pgs_kernel_pre, nc=nc, iterations=iterations, cfm=cfm,
+    )
+    lam_t = pl.pallas_call(
+        kernel,
+        grid=(Np // tile,),
+        in_specs=[
+            pl.BlockSpec((n3, n3, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n3, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n3, Np), jnp.float32),
+        interpret=interpret,
+    )(A_t, b_t, bias_t, active_t, mu_t, lam0_t)
+    return lam_t[:, :N] if pad else lam_t
+
+
 def _pgs_kernel(
     E_ref,        # (3nc, nv, TILE_N)
     W_ref,        # (nv, 3nc, TILE_N)  = M^-1 E^T

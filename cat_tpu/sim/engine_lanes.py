@@ -208,14 +208,27 @@ def _substep_lanes(
     bias = solver.contact_bias(phi, params.dt, sp)
     active = (phi < sp.margin).astype(jnp.float32)
     if use_pallas:
+        import os as _os
+
         from cat_tpu.ops import pgs_pallas
 
-        lam_t = pgs_pallas.pgs_solve_lanes(
-            E, W, b, bias, active, mu[None, :], sT.lam,
-            nc=model.ncand, nv=model.nv,
-            iterations=sp.iterations, cfm=sp.cfm,
-            row_dofs=pgs_pallas.contact_row_dofs(model, anc_mask),
-        )
+        if _os.environ.get("CAT_TPU_PGS_PREASSEMBLE"):
+            # A/B variant (perf_r4.md): assemble A = E W as a batched XLA
+            # matmul (MXU) and run the sweep-only kernel. Costs one
+            # (3nc)^2 x N HBM round trip, removes the kernel's serial
+            # VPU assembly.
+            A = jnp.einsum("rkn,kcn->rcn", E, W)
+            lam_t = pgs_pallas.pgs_solve_lanes_pre(
+                A, b, bias, active, mu[None, :], sT.lam,
+                nc=model.ncand, iterations=sp.iterations, cfm=sp.cfm,
+            )
+        else:
+            lam_t = pgs_pallas.pgs_solve_lanes(
+                E, W, b, bias, active, mu[None, :], sT.lam,
+                nc=model.ncand, nv=model.nv,
+                iterations=sp.iterations, cfm=sp.cfm,
+                row_dofs=pgs_pallas.contact_row_dofs(model, anc_mask),
+            )
     else:
         lam_t = _pgs_lanes_xla(
             E, W, b, bias, active, mu, sT.lam,

@@ -59,7 +59,9 @@ def main(run_dir: str, out: str | None = None):
     it = np.arange(1, len(rows) + 1)
     out = out or os.path.join(run_dir, "learning_curve.png")
 
-    fig, axes = plt.subplots(1, 3, figsize=(13, 3.6), dpi=140)
+    n_panels = 4 if "Curriculum/terrain_levels" in rows[0] else 3
+    fig, axes = plt.subplots(1, n_panels, figsize=(4.33 * n_panels, 3.6),
+                             dpi=140)
     fig.patch.set_facecolor(SURFACE)
 
     rew = [r["Train/mean_reward_per_step"] for r in rows]
@@ -95,6 +97,17 @@ def main(run_dir: str, out: str | None = None):
     ax.legend(frameon=False, fontsize=8, labelcolor=TEXT2)
     _style(ax, "Constraint violation (% of steps)", "%")
     ax.set_ylim(0, 100)
+
+    # rough-terrain runs: terrain-level curriculum panel
+    if "Curriculum/terrain_levels" in rows[0] and len(axes) > 3:
+        ax = axes[3]
+        lv = [r["Curriculum/terrain_levels"] for r in rows]
+        sm = _smooth(lv)
+        ax.plot(it[len(it) - len(sm):], sm, color=S2, lw=2,
+                solid_joinstyle="round")
+        ax.annotate(f"{sm[-1]:.2f}", (it[-1], sm[-1]), color=TEXT,
+                    fontsize=9, ha="right", va="bottom")
+        _style(ax, "Mean terrain level (0-9)", "difficulty row")
 
     fig.tight_layout()
     fig.savefig(out, facecolor=SURFACE)
