@@ -52,6 +52,14 @@ def make_env(num_envs: int = 4096, play: bool = False,
         terrain=terr,
         height_scan=HeightScanCfg(),
         terrain_curriculum=True,
+        # style-constraint anneal stretched 4x vs the flat recipe: the
+        # measured A/B (runs/solo12_rough_r4/ANALYSIS.md) shows the flat
+        # pacing's post-anneal style budget triples falls on terrain and
+        # demotes terrain levels 2.3 -> 0.45, while this pacing keeps
+        # climbing past level 4.5. The flat task keeps reference pacing
+        # (parity); rough has no reference recipe and takes the better
+        # setting as default.
+        curriculum_steps=24 * 4000,
         # The flat task's upside_down kill at |g_xy| > 0.1 (5.7 deg tilt,
         # cat_flat_env_cfg.py:372-377) is unlearnable on slopes/noise (the
         # r3 smoke died at ep_len ~9 of 500 from it); rough keeps the

@@ -14,6 +14,10 @@ env count and asserts the learning outcomes agree within tolerance:
 Writes runs/parity/backend_parity.json (+ overlay plot if matplotlib).
 
 Usage: python tools/backend_parity.py [num_envs=256] [iters=200] [seed=7]
+                                      [rel_tol=0.35]
+
+Round 4 runs this at RECIPE scale (4096 envs, >=1000 iters) with a
+tightened tolerance (VERDICT r3 next-step #3).
 """
 
 import json
@@ -73,9 +77,12 @@ def load_metrics(run_path: str):
 
 
 def main():
+    global REL_TOL
     num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    if len(sys.argv) > 4:
+        REL_TOL = float(sys.argv[4])
 
     curves = {}
     for b in BACKENDS:
@@ -145,12 +152,18 @@ def main():
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+        fig, axes = plt.subplots(2, 3, figsize=(15, 7.5))
+        axes = axes.ravel()
         for b in BACKENDS:
             axes[0].plot(curves[b]["reward"], label=b, alpha=0.85)
             axes[1].plot(curves[b]["ep_len"], label=b, alpha=0.85)
+            for j, h in enumerate(HARD):
+                axes[2 + j].plot(curves[b]["hard_viol"][h], label=b,
+                                 alpha=0.85)
         axes[0].set_title(f"reward/step ({num_envs} envs, seed {seed})")
         axes[1].set_title("episode length")
+        for j, h in enumerate(HARD):
+            axes[2 + j].set_title(f"{h} violation %")
         for ax in axes:
             ax.set_xlabel("iteration")
             ax.legend()
