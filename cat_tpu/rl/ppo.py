@@ -250,6 +250,14 @@ class PPO:
         n_minibatches = nb // mb_size
 
         def loss_fn(params, mb):
+            """Collective discipline (runs/scaling/PROJECTION.md): off-slice
+            the cost is latency x collective COUNT, so this body issues ONE
+            fused pmean (the adv-norm moments) instead of seven scalar
+            pmeans. Every other component reduces LOCALLY — valid because
+            shards are equal-sized and the gradient is pmean'd after
+            value_and_grad (local-mean loss + grad pmean == grad of the
+            global-mean loss); the scalar stats are pmean'd as one fused
+            vector in sgd_step."""
             obs, act, old_logp, adv, ret, old_val = mb
             mean, log_std, newvalue = self.net.apply(params, obs)
             newlogp = networks.gaussian_logp(mean, log_std, act)
@@ -258,13 +266,18 @@ class PPO:
             ratio = jnp.exp(logratio)
 
             if cfg.norm_adv:
-                m = _mean(adv, ax)
-                s = jnp.sqrt(_mean(jnp.square(adv - m), ax))
+                # global moments via a single fused (2,) pmean:
+                # var = E[x^2] - E[x]^2 (shards are equal-sized)
+                mom = jnp.stack([jnp.mean(adv), jnp.mean(jnp.square(adv))])
+                if ax is not None:
+                    mom = jax.lax.pmean(mom, ax)
+                m = mom[0]
+                s = jnp.sqrt(jnp.maximum(mom[1] - jnp.square(mom[0]), 0.0))
                 adv = (adv - m) / (s + 1e-8)
 
             pg1 = -adv * ratio
             pg2 = -adv * jnp.clip(ratio, 1 - cfg.clip_coef, 1 + cfg.clip_coef)
-            pg_loss = _mean(jnp.maximum(pg1, pg2), ax)
+            pg_loss = jnp.mean(jnp.maximum(pg1, pg2))
 
             newvalue_n = rms_normalize(value_rms, newvalue)
             if cfg.clip_vloss:
@@ -273,15 +286,15 @@ class PPO:
                     newvalue_n - old_val, -cfg.clip_coef, cfg.clip_coef
                 )
                 v_clipped = jnp.square(v_clipped_val - ret)
-                v_loss = 0.5 * _mean(jnp.maximum(v_unclipped, v_clipped), ax)
+                v_loss = 0.5 * jnp.mean(jnp.maximum(v_unclipped, v_clipped))
             else:
-                v_loss = 0.5 * _mean(jnp.square(newvalue_n - ret), ax)
+                v_loss = 0.5 * jnp.mean(jnp.square(newvalue_n - ret))
 
-            ent_loss = _mean(entropy, ax)
+            ent_loss = jnp.mean(entropy)
             total = pg_loss - cfg.ent_coef * ent_loss + v_loss * cfg.vf_coef
-            approx_kl = _mean((ratio - 1.0) - logratio, ax)
-            clipfrac = _mean(
-                (jnp.abs(ratio - 1.0) > cfg.clip_coef).astype(jnp.float32), ax
+            approx_kl = jnp.mean((ratio - 1.0) - logratio)
+            clipfrac = jnp.mean(
+                (jnp.abs(ratio - 1.0) > cfg.clip_coef).astype(jnp.float32)
             )
             return total, (pg_loss, v_loss, ent_loss, approx_kl, clipfrac)
 
@@ -298,6 +311,9 @@ class PPO:
             )
             if ax is not None:
                 grads = jax.lax.pmean(grads, ax)
+                # the 5 local scalar stats cross the wire as ONE collective
+                aux = tuple(jax.lax.pmean(jnp.stack(aux), ax))
+                loss = aux[0] - cfg.ent_coef * aux[2] + aux[1] * cfg.vf_coef
             updates, opt_state = self.tx.update(grads, opt_state, params)
             updates = jax.tree.map(lambda u: -lr * u, updates)
             params = optax.apply_updates(params, updates)

@@ -185,14 +185,21 @@ def main():
             + " | ".join(f"{e*100:.1f}%" for e in effs) + " |"
         )
     md.append("")
+    eff2 = {l: [e for ll, n, t, e in rows if ll == l][0] for l in LINKS}
     md.append(
-        "**Conclusion.** Intra-slice (ICI) weak scaling is ~free; the "
-        "BASELINE >=80% two-host target holds even under the pessimistic "
-        "DCN model (3 GB/s, 500 us/collective) because the model is tiny "
-        "and the sim generates its own data. If a real DCN deployment ever "
-        "measured below this, the first lever is batching the per-minibatch "
-        "scalar pmeans (7 scalars) into one fused collective — XLA already "
-        "fuses same-shape reductions launched together."
+        f"**Conclusion.** Intra-slice (ICI) weak scaling is ~free "
+        f"({eff2['ICI (one v5e slice)']*100:.1f}% at 2 chips). The "
+        f"BASELINE >=80% two-host target holds at the NOMINAL DCN model "
+        f"({eff2['DCN (2+ hosts)']*100:.1f}% at 2 hosts) — but only "
+        f"marginally, and NOT under the pessimistic model "
+        f"({eff2['DCN pessimistic']*100:.1f}%): off-slice the cost is "
+        f"LATENCY x collective count, not bytes. The lever that moves the "
+        f"needle is reducing the sequential collective count: batch the 7 "
+        f"per-minibatch scalar pmeans into one fused reduction (210 calls "
+        f"-> 30) and fold the per-step rms/pmax pairs (48 -> 24); that "
+        f"cuts ~291 calls to ~87 and lifts the pessimistic-DCN projection "
+        f"to ~70%. The gradient payload itself (45 MB/iter) costs under "
+        f"8 ms even at 12 GB/s."
     )
     md.append("")
     md.append(
