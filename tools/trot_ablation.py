@@ -161,20 +161,35 @@ def gait_probe(variant: str, ts):
 
     down, vx, rew = jax.device_get(rollout(ts, es, first_obs))
     # skip the first second (transient from reset)
-    down = down[50:]                        # (T, N, 4) feet order FL,FR,HR,HL
+    down = down[50:]                        # (T, N, 4)
+    # derive pair indices from the model's actual foot slot NAMES (the
+    # order is FL, FR, HL, HR for Solo12 — hardcoded index math silently
+    # measured lateral pairs in the first draft)
+    names = [env.model.report_names[i] for i in env.model.foot_report_ids]
+    idx = {n.split("_")[0]: i for i, n in enumerate(names)}
+    pairs = {
+        "diag": (({idx["FL"], idx["HR"]}), ({idx["FR"], idx["HL"]})),
+        "lateral": (({idx["FL"], idx["HL"]}), ({idx["FR"], idx["HR"]})),
+        "frontback": (({idx["FL"], idx["FR"]}), ({idx["HL"], idx["HR"]})),
+    }
     nfeet = down.sum(-1)                    # (T, N)
     hist = [float((nfeet == k).mean()) for k in range(5)]
     two = nfeet == 2
-    # diagonal pairs: FL+HR (idx 0,2) or FR+HL (idx 1,3)
-    diag_a = down[..., 0] & down[..., 2] & ~down[..., 1] & ~down[..., 3]
-    diag_b = down[..., 1] & down[..., 3] & ~down[..., 0] & ~down[..., 2]
-    diag_frac_given_two = (
-        float((diag_a | diag_b).sum() / max(two.sum(), 1))
-    )
+
+    def pair_frac(pair_sets):
+        hit = np.zeros(two.shape, dtype=bool)
+        for s in pair_sets:
+            m = np.ones(two.shape, dtype=bool)
+            for f in range(4):
+                m &= down[..., f] if f in s else ~down[..., f]
+            hit |= m
+        return float(hit.sum() / max(two.sum(), 1))
+
     return {
+        "feet_order": names,
         "feet_down_hist": hist,
         "two_foot_satisfaction": hist[2],
-        "diag_frac_given_two": diag_frac_given_two,
+        "pair_frac_given_two": {k: pair_frac(v) for k, v in pairs.items()},
         "duty_factor": float(down.mean()),
         "mean_speed": float(vx[50:].mean()),   # planar speed vs 0.8 cmd
         "mean_reward": float(rew[50:].mean()),
