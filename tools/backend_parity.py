@@ -43,7 +43,9 @@ HARD = ("cstr_contact", "cstr_foot_contact_force", "cstr_front_hfe_position",
 
 
 def run_backend(backend: str, num_envs: int, iters: int, seed: int) -> str:
-    run_name = f"parity_{backend}"
+    # scale-qualified name: MetricLogger appends to metrics.jsonl, so
+    # reusing a bare name across scales mixes curves from different runs
+    run_name = f"parity_{backend}_{num_envs}x{iters}"
     cmd = [
         sys.executable, "scripts/train.py",
         "--task", "Solo12-CaT-Flat-v0",
