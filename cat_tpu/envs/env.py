@@ -746,6 +746,14 @@ class CatEnv:
                 state.acc_prob[i] / cnt
             )
             metrics[f"Curriculum/{t.name}_max_p"] = state.max_p[i]
+            # the CaT normalizer's state: sustained violations inflate the
+            # polyak running max, which SOFTENS marginal pressure (p ~
+            # violation/rmax) — logging it makes that renormalization
+            # visible (diagnoses e.g. the joint_torque violation creep)
+            a, b = self.cset.slices[i]
+            metrics[f"Constraint_running_max/cstr_{t.name}"] = jnp.mean(
+                state.running_max[a:b]
+            )
         metrics["Episode/reward"] = state.acc_rew / cnt
         metrics["Episode/length"] = state.acc_len / cnt
         metrics["Episode/count"] = state.acc_count

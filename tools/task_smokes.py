@@ -37,9 +37,13 @@ def main():
             "--run_name", run_name,
             "--override", f"minibatch_size={num_envs * 24 // 6}",
         ]
+        path = os.path.join("logs", "clean_rl", task, run_name)
+        # fresh dir: MetricLogger appends, so a stale same-named run would
+        # mix curves into the smoke stats
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
         print("==>", " ".join(cmd), flush=True)
         subprocess.run(cmd, check=True)
-        path = os.path.join("logs", "clean_rl", task, run_name)
         rows = [json.loads(l)
                 for l in open(os.path.join(path, "metrics.jsonl"))]
         rew = np.asarray([r["Train/mean_reward_per_step"] for r in rows])
