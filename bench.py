@@ -30,9 +30,14 @@ def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
     iters_warm = 2
     iters_meas = int(os.environ.get("BENCH_ITERS", 5))
+    task = os.environ.get("BENCH_TASK", "flat")  # flat | rough
 
     from cat_tpu.rl.ppo import PPO, PpoCfg
-    from cat_tpu.tasks.solo12_flat import make_env
+
+    if task == "rough":
+        from cat_tpu.tasks.solo12_rough import make_env
+    else:
+        from cat_tpu.tasks.solo12_flat import make_env
 
     env = make_env(num_envs=num_envs)
     cfg = PpoCfg()
@@ -59,7 +64,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "env_steps_per_sec_per_chip_4096envs_full_ppo",
+                "metric": (
+                    "env_steps_per_sec_per_chip_4096envs_full_ppo"
+                    if task == "flat"
+                    else f"env_steps_per_sec_per_chip_{task}_full_ppo"
+                ),
                 "value": round(sps, 1),
                 "unit": "env_steps/s",
                 "vs_baseline": round(sps / BASELINE_R1_STEPS_PER_SEC, 3),
