@@ -61,23 +61,23 @@ def main():
 
     env_steps = iters_meas * cfg.num_steps * num_envs
     sps = env_steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "env_steps_per_sec_per_chip_4096envs_full_ppo"
-                    if task == "flat"
-                    else f"env_steps_per_sec_per_chip_{task}_full_ppo"
-                ),
-                "value": round(sps, 1),
-                "unit": "env_steps/s",
-                "vs_baseline": round(sps / BASELINE_R1_STEPS_PER_SEC, 3),
-                # which anchor the ratio used (vs_baseline semantics changed
-                # in r3 from an invented GPU figure to the measured r1 number)
-                "baseline": f"BENCH_r01:{BASELINE_R1_STEPS_PER_SEC:.0f}",
-            }
-        )
-    )
+    rec = {
+        "metric": (
+            "env_steps_per_sec_per_chip_4096envs_full_ppo"
+            if task == "flat"
+            else f"env_steps_per_sec_per_chip_{task}_full_ppo"
+        ),
+        "value": round(sps, 1),
+        "unit": "env_steps/s",
+    }
+    if task == "flat":
+        # the r1 anchor is a FLAT-task number; a cross-task ratio would be
+        # misleading, so rough benches report the raw value only
+        rec["vs_baseline"] = round(sps / BASELINE_R1_STEPS_PER_SEC, 3)
+        # which anchor the ratio used (vs_baseline semantics changed
+        # in r3 from an invented GPU figure to the measured r1 number)
+        rec["baseline"] = f"BENCH_r01:{BASELINE_R1_STEPS_PER_SEC:.0f}"
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

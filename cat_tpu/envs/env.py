@@ -180,6 +180,9 @@ class EnvCfg:
     # PGS sweep count override (None = SolverParams default 5, the PhysX
     # 4+1 budget); exposed for solver-stiffness ablations
     solver_iterations: Optional[int] = None
+    # PGS sweep structure override: "gs" or "bj:<n_blocks>[:<omega>]"
+    # (block-Jacobi, ops/pgs_pallas.py); None = SolverParams default
+    solver_structure: Optional[str] = None
     terrain: Terrain = terrain_mod.plane()
     height_scan: Optional[HeightScanCfg] = None
     terrain_curriculum: bool = False   # promote/demote difficulty rows
@@ -264,6 +267,14 @@ class CatEnv:
                     iterations=cfg.solver_iterations
                 )
             )
+        if cfg.solver_structure is not None:
+            parts = cfg.solver_structure.split(":")
+            sp = params.solver._replace(structure=parts[0])
+            if len(parts) > 1:
+                sp = sp._replace(bj_blocks=int(parts[1]))
+            if len(parts) > 2:
+                sp = sp._replace(omega=float(parts[2]))
+            params = params._replace(solver=sp)
         self._engine_step = engine_mod.make_batched_step(
             model, params, num_envs=cfg.num_envs, terrain=cfg.terrain
         )
@@ -570,11 +581,18 @@ class CatEnv:
                 * cfg.episode_length_s
             )
             # promote walkers that covered at least half their commanded
-            # distance (standing envs, required ~ 0, are excluded — they
-            # would otherwise promote on every survived episode); demote
-            # envs that covered under a quarter (standing envs never do:
-            # dist < 0 is false).
-            move_up = time_out & (dist > 0.5 * required) & (required > 0.5)
+            # distance (standing envs are excluded — they would otherwise
+            # promote on every survived episode); demote envs that covered
+            # under a quarter (standing envs never do: dist < 0 is false).
+            # Eligibility gates on COMMANDED SPEED above the standing
+            # deadzone, not on an absolute required distance — the latter
+            # implicitly couples promotion to episode_length_s and locks
+            # out slow-but-valid commands (ADVICE r4).
+            moving = (
+                jnp.linalg.norm(state.command[:, :2], axis=1)
+                > self.cfg.commands.velocity_deadzone
+            )
+            move_up = time_out & (dist > 0.5 * required) & moving
             move_down = dist < 0.25 * required
             new_row = jnp.clip(
                 trow + move_up.astype(jnp.int32) - move_down.astype(jnp.int32),

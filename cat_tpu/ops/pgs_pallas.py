@@ -194,6 +194,28 @@ def pgs_solve_lanes_pre(
     return lam_t[:, :N] if pad else lam_t
 
 
+def _assemble_A(E_ref, W_ref, A_out, n3: int, nv: int, row_dofs: tuple):
+    """A[i, j, n] = sum_k E[i, k, n] * W[k, j, n]  (envs on lanes).
+
+    Row-block accumulation: building the full (n3, n3, tile) product as a
+    jnp temp doubles the VMEM footprint (a ~6 MB stack allocation on top
+    of A_scratch at nc=36 — the BENCH_r02 scoped-VMEM OOM). Accumulate
+    each row block with a (n3, tile) temp and store it straight into
+    scratch instead.
+
+    row_dofs[r] (static) lists the velocity dofs with NONZERO E[r, k]:
+    a quadruped contact row touches base(6) + one or two 3-dof legs, so
+    skipping the exactly-zero k terms halves the assembly's serial VPU
+    work — the dominant kernel cost alongside the PGS sweep.
+    """
+    for r in range(n3):
+        ks = tuple(range(nv)) if row_dofs is None else row_dofs[r]
+        acc = E_ref[r, ks[0], :][None, :] * W_ref[ks[0], :, :]
+        for k in ks[1:]:
+            acc = acc + E_ref[r, k, :][None, :] * W_ref[k, :, :]
+        A_out[r] = acc
+
+
 def _pgs_kernel(
     E_ref,        # (3nc, nv, TILE_N)
     W_ref,        # (nv, 3nc, TILE_N)  = M^-1 E^T
@@ -213,23 +235,7 @@ def _pgs_kernel(
 ):
     n3 = 3 * nc
     tile_n = E_ref.shape[-1]
-    # ---- A[i, j, n] = sum_k E[i, k, n] * W[k, j, n]  (envs on lanes) ----
-    # Row-block accumulation: building the full (n3, n3, tile) product as a
-    # jnp temp doubles the VMEM footprint (a ~6 MB stack allocation on top
-    # of A_scratch at nc=36 — the BENCH_r02 scoped-VMEM OOM). Accumulate
-    # each row block with a (n3, tile) temp and store it straight into
-    # scratch instead.
-    #
-    # row_dofs[r] (static) lists the velocity dofs with NONZERO E[r, k]:
-    # a quadruped contact row touches base(6) + one or two 3-dof legs, so
-    # skipping the exactly-zero k terms halves the assembly's serial VPU
-    # work — the dominant kernel cost alongside the PGS sweep.
-    for r in range(n3):
-        ks = tuple(range(nv)) if row_dofs is None else row_dofs[r]
-        acc = E_ref[r, ks[0], :][None, :] * W_ref[ks[0], :, :]
-        for k in ks[1:]:
-            acc = acc + E_ref[r, k, :][None, :] * W_ref[k, :, :]
-        A_scratch[r] = acc
+    _assemble_A(E_ref, W_ref, A_scratch, n3, nv, row_dofs)
 
     mu = mu_ref[0, :]
     act = [active_ref[i, :] for i in range(nc)]
@@ -379,3 +385,290 @@ def pgs_solve_lanes(
     )(E_t, W_t, b_t, bias_t, active_t, mu_t, lam0_t)
 
     return lam_t[:, :N] if pad else lam_t
+
+
+# --------------------------------------------------------------------------
+# Block-Jacobi sweep structure (round-5 speed-of-light experiment)
+# --------------------------------------------------------------------------
+#
+# The Gauss-Seidel sweep above is the kernel's latency wall (perf_r4.md:
+# 27% of the HBM roofline bound; the serial chain is nc contacts x
+# iterations, with 1-sublane-wide scalar math between every rank-3 FMA).
+# The block-Jacobi variant restructures the sweep:
+#
+#   * rows are reordered COMPONENT-MAJOR ([all t1 | all t2 | all n]) so the
+#     per-contact projection math runs on (g, TILE) 2D tiles — g contacts
+#     solved simultaneously at full sublane width instead of one at a time;
+#   * contacts are partitioned into `blocks`; contacts within a block update
+#     Jacobi-style against the same accumulated velocity w (no intra-block
+#     dependency), blocks update Gauss-Seidel-style against each other;
+#   * an under-relaxation factor `omega` damps the simultaneous updates
+#     (contacts sharing a rigid body — e.g. the 8 base-shell candidates —
+#     overshoot under pure Jacobi);
+#   * the w-updates of a block are 3g INDEPENDENT row FMAs (no interleaved
+#     scalar ops), so the VPU pipeline stays full.
+#
+# blocks = ((0,1),(1,1),...,(nc-1,1)) with omega=1 reproduces the GS kernel
+# bit-for-bit (tests/test_pgs_pallas.py); blocks = ((0,nc),) is pure Jacobi.
+
+
+def _bj_sweeps(
+    getrow, getel, b, bias, active, mu, lam0, *,
+    nc: int, iterations: int, cfm: float, omega: float, blocks: tuple,
+):
+    """Shared block-Jacobi PGS core (component-major layout).
+
+    getrow(r) -> (3nc, B) row r of the Delassus A (cm row/col order);
+    getel(r, c) -> (B,) single element row. b (3nc,B) cm, bias/active
+    (nc,B), mu (B,), lam0 (3nc,B) cm. Returns lam (3nc,B) cm.
+
+    Runs unchanged inside the Pallas kernel (refs behind getrow) and as the
+    pure-XLA mirror (jnp array behind getrow) — one implementation to keep
+    in sync, not two.
+    """
+    n3 = 3 * nc
+    lt1 = lam0[0:nc] * active
+    lt2 = lam0[nc:2 * nc] * active
+    ln = lam0[2 * nc:n3] * active
+
+    # w = A @ lam with 4-way partial accumulation (independent FMA streams)
+    lam_rows = [lt1[i] for i in range(nc)] + [lt2[i] for i in range(nc)] \
+        + [ln[i] for i in range(nc)]
+    accs = [None, None, None, None]
+    for r in range(n3):
+        p = getrow(r) * lam_rows[r][None, :]
+        s = r % 4
+        accs[s] = p if accs[s] is None else accs[s] + p
+    w = (accs[0] + accs[1]) + (accs[2] + accs[3])
+
+    # per-contact diagonal/coupling stacks (nc, B), computed once
+    inv_dt1 = 1.0 / (jnp.stack([getel(i, i) for i in range(nc)]) + cfm)
+    inv_dt2 = 1.0 / (
+        jnp.stack([getel(nc + i, nc + i) for i in range(nc)]) + cfm
+    )
+    inv_dn = 1.0 / (
+        jnp.stack([getel(2 * nc + i, 2 * nc + i) for i in range(nc)]) + cfm
+    )
+    c_t1n = jnp.stack([getel(i, 2 * nc + i) for i in range(nc)])
+    c_t2n = jnp.stack([getel(nc + i, 2 * nc + i) for i in range(nc)])
+
+    for _ in range(iterations):
+        for (i0, g) in blocks:
+            sl = slice(i0, i0 + g)
+            act = active[sl]
+            ln_b, lt1_b, lt2_b = ln[sl], lt1[sl], lt2[sl]
+            vn = w[2 * nc + i0:2 * nc + i0 + g] + b[2 * nc + i0:2 * nc + i0 + g] \
+                + bias[sl]
+            ln_new = jnp.maximum(ln_b - omega * vn * inv_dn[sl], 0.0) * act
+            dn = ln_new - ln_b
+            vt1 = w[i0:i0 + g] + b[i0:i0 + g] + c_t1n[sl] * dn
+            vt2 = w[nc + i0:nc + i0 + g] + b[nc + i0:nc + i0 + g] \
+                + c_t2n[sl] * dn
+            lt1_c = lt1_b - omega * vt1 * inv_dt1[sl]
+            lt2_c = lt2_b - omega * vt2 * inv_dt2[sl]
+            tn = jnp.sqrt(lt1_c * lt1_c + lt2_c * lt2_c + 1e-12)
+            scale = jnp.minimum(1.0, mu[None, :] * ln_new / tn) * act
+            n1, n2 = lt1_c * scale, lt2_c * scale
+            d1, d2 = n1 - lt1_b, n2 - lt2_b
+
+            # w += A[:, block cols] @ deltas — 3g independent row FMAs,
+            # merged through 3 parallel partial accumulators
+            upds = []
+            for j in range(g):
+                upds.append(getrow(i0 + j) * d1[j][None, :])
+                upds.append(getrow(nc + i0 + j) * d2[j][None, :])
+                upds.append(getrow(2 * nc + i0 + j) * dn[j][None, :])
+            paccs = [None, None, None]
+            for s, p in enumerate(upds):
+                t = s % 3
+                paccs[t] = p if paccs[t] is None else paccs[t] + p
+            for p in paccs:
+                if p is not None:
+                    w = w + p
+
+            if g == nc:
+                ln, lt1, lt2 = ln_new, n1, n2
+            else:
+                ln = ln.at[sl].set(ln_new)
+                lt1 = lt1.at[sl].set(n1)
+                lt2 = lt2.at[sl].set(n2)
+
+    return jnp.concatenate([lt1, lt2, ln], axis=0)
+
+
+def _pgs_kernel_bj(
+    E_ref, W_ref, b_ref, bias_ref, active_ref, mu_ref, lam0_ref,
+    lam_out_ref, A_scratch, *,
+    nc: int, nv: int, iterations: int, cfm: float, omega: float,
+    blocks: tuple, row_dofs: tuple = None,
+):
+    """Block-Jacobi kernel: same fused in-VMEM assembly, restructured sweep.
+    All inputs already in component-major row order (see pgs_solve_lanes_bj).
+    """
+    n3 = 3 * nc
+    _assemble_A(E_ref, W_ref, A_scratch, n3, nv, row_dofs)
+    lam = _bj_sweeps(
+        lambda r: A_scratch[r],
+        lambda r, c: A_scratch[r, c, :],
+        b_ref[...], bias_ref[...], active_ref[...], mu_ref[0, :],
+        lam0_ref[...],
+        nc=nc, iterations=iterations, cfm=cfm, omega=omega, blocks=blocks,
+    )
+    for r in range(n3):
+        lam_out_ref[r, :] = lam[r]
+
+
+def cm_row_perm(nc: int, contact_perm) -> np.ndarray:
+    """Interleaved (t1,t2,n per contact) -> component-major row permutation,
+    composed with a contact reordering: perm[c*nc + i] = 3*contact_perm[i]+c.
+    """
+    cp = np.asarray(contact_perm, dtype=np.int64)
+    return np.concatenate([3 * cp + c for c in range(3)])
+
+
+def plan_contact_blocks(model, n_blocks: int):
+    """Partition contacts into n_blocks equal blocks, spreading contacts that
+    share a rigid body across different blocks (same-body contacts are the
+    strongly-coupled ones that make simultaneous Jacobi updates overshoot;
+    cross-leg contacts couple only through the base).
+
+    Returns (contact_perm, blocks) — contact_perm (nc,) reorders contacts so
+    block k is the contiguous range [k*g, (k+1)*g); blocks = ((0,g),...).
+    """
+    bodies = [
+        {int(model.cand_body[c])} for c in range(model.ncand_terrain)
+    ] + [
+        {int(model.pair_body_a[p]), int(model.pair_body_b[p])}
+        for p in range(model.npair)
+    ]
+    nc = len(bodies)
+    assert nc % n_blocks == 0, (nc, n_blocks)
+    g = nc // n_blocks
+    blocks: list = [[] for _ in range(n_blocks)]
+    # place high-coupling contacts first (pairs touch two bodies)
+    order = sorted(range(nc), key=lambda c: -len(bodies[c]))
+    for c in order:
+        open_blocks = [b for b in range(n_blocks) if len(blocks[b]) < g]
+        best = min(
+            open_blocks,
+            key=lambda b: (
+                sum(1 for o in blocks[b] if bodies[o] & bodies[c]),
+                len(blocks[b]),
+            ),
+        )
+        blocks[best].append(c)
+    perm = tuple(c for blk in blocks for c in blk)
+    return perm, tuple((k * g, g) for k in range(n_blocks))
+
+
+def pgs_solve_lanes_bj(
+    E_t: jnp.ndarray,      # (3nc, nv, N) — interleaved rows, envs on lanes
+    W_t: jnp.ndarray,      # (nv, 3nc, N)
+    b_t: jnp.ndarray,      # (3nc, N)
+    bias_t: jnp.ndarray,   # (nc, N)
+    active_t: jnp.ndarray, # (nc, N)
+    mu_t: jnp.ndarray,     # (1, N)
+    lam0_t: jnp.ndarray,   # (3nc, N)
+    *,
+    nc: int, nv: int, iterations: int = 5, cfm: float = 1e-4,
+    omega: float = 1.0, contact_perm: tuple = None, blocks: tuple = None,
+    row_dofs: tuple = None, interpret: bool = False,
+) -> jnp.ndarray:
+    """Block-Jacobi entry: interleaved in/out (drop-in for pgs_solve_lanes).
+
+    Permutes rows to component-major order outside the kernel (a static
+    gather XLA fuses into the operand producers), runs the bj kernel, and
+    permutes the impulses back.
+    """
+    N = E_t.shape[-1]
+    n3 = 3 * nc
+    if contact_perm is None:
+        contact_perm = tuple(range(nc))
+    if blocks is None:
+        blocks = ((0, nc),)
+    perm = cm_row_perm(nc, contact_perm)
+    inv = np.argsort(perm)
+    cperm = np.asarray(contact_perm, dtype=np.int64)
+
+    E_cm = E_t[perm]
+    W_cm = W_t[:, perm, :]
+    b_cm = b_t[perm]
+    lam_cm = lam0_t[perm]
+    bias_cm = bias_t[cperm]
+    act_cm = active_t[cperm]
+    rd_cm = None if row_dofs is None else tuple(row_dofs[p] for p in perm)
+
+    tile = pick_tile(nc, nv)
+    pad = (-N) % tile
+    if pad:
+        padw = [(0, 0), (0, 0), (0, pad)]
+        E_cm, W_cm = jnp.pad(E_cm, padw), jnp.pad(W_cm, padw)
+        pad2 = [(0, 0), (0, pad)]
+        b_cm, bias_cm = jnp.pad(b_cm, pad2), jnp.pad(bias_cm, pad2)
+        act_cm, mu_t = jnp.pad(act_cm, pad2), jnp.pad(mu_t, pad2)
+        lam_cm = jnp.pad(lam_cm, pad2)
+    Np = N + pad
+
+    kernel = functools.partial(
+        _pgs_kernel_bj, nc=nc, nv=nv, iterations=iterations, cfm=cfm,
+        omega=omega, blocks=blocks, row_dofs=rd_cm,
+    )
+    lam_out = pl.pallas_call(
+        kernel,
+        grid=(Np // tile,),
+        in_specs=[
+            pl.BlockSpec((n3, nv, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, n3, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n3, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n3, Np), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n3, n3, tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(E_cm, W_cm, b_cm, bias_cm, act_cm, mu_t, lam_cm)
+
+    lam_out = lam_out[:, :N] if pad else lam_out
+    return lam_out[inv]
+
+
+def pgs_lanes_xla_bj(
+    E_t, W_t, b_t, bias_t, active_t, mu, lam0_t, *,
+    nc: int, iterations: int, cfm: float, omega: float = 1.0,
+    contact_perm: tuple = None, blocks: tuple = None,
+) -> jnp.ndarray:
+    """Pure-XLA mirror of the bj kernel (CPU tests / fallback): identical
+    math via the shared _bj_sweeps core. mu is (N,)."""
+    n3 = 3 * nc
+    nv = E_t.shape[1]
+    if contact_perm is None:
+        contact_perm = tuple(range(nc))
+    if blocks is None:
+        blocks = ((0, nc),)
+    perm = cm_row_perm(nc, contact_perm)
+    inv = np.argsort(perm)
+    cperm = np.asarray(contact_perm, dtype=np.int64)
+
+    E_cm, W_cm = E_t[perm], W_t[:, perm, :]
+    A = jnp.zeros((n3, n3) + E_t.shape[-1:])
+    for k in range(nv):
+        A = A + E_cm[:, k, :][:, None, :] * W_cm[k, :, :][None, :, :]
+    lam = _bj_sweeps(
+        lambda r: A[r], lambda r, c: A[r, c],
+        b_t[perm], bias_t[cperm], active_t[cperm], mu, lam0_t[perm],
+        nc=nc, iterations=iterations, cfm=cfm, omega=omega, blocks=blocks,
+    )
+    return lam[inv]

@@ -17,6 +17,30 @@ Solo12 hyperparameters (clean_rl_ppo_cfg.py), redesigned TPU-first:
     ``env``; gradients/metrics psum, normalizer moments psum, constraint
     running-max pmax (SURVEY.md §2.4/§2.5). Minibatch permutations are
     per-chip (each chip permutes its local rows — statistically equivalent).
+
+Collective discipline v2 (runs/scaling/PROJECTION.md: off-slice efficiency
+is latency x collective COUNT, not bytes). One iteration issues exactly
+``30 + 5 + 1`` collectives:
+
+  * 30 grad pmeans (one per minibatch — irreducible at reference
+    semantics), each carrying the 5 scalar loss stats fused into the same
+    pmean (XLA's all-reduce combiner merges the pytree into one op);
+  * 5 per-EPOCH fused pmeans of ALL that epoch's minibatch adv-norm
+    moments as one (n_minibatches, 2) tensor — exact, because advantages
+    are fixed for the whole iteration, so each minibatch's moments are
+    known the moment the epoch's permutation is drawn;
+  * 1 iteration-boundary fused merge (`_boundary_merge`): obs-normalizer
+    moment deltas (psum), value-normalizer batch moments (psum), episode
+    metrics (psum), and the constraint running-max (pmax) cross one
+    mixed-op collective via a scatter-psum table.
+
+The rollout itself issues ZERO collectives: obs_rms and the CaT
+running-max update shard-locally during the 24 steps (each shard behaves
+exactly like the reference's single-GPU semantics over its own envs) and
+re-synchronize EXACTLY at the boundary — the merged obs_rms equals the
+per-step-psum result bit-for-near (moment accumulation is associative),
+and the running-max pmax re-replicates the CaT normalizer every iteration.
+Single-chip math is completely unchanged.
 """
 
 from __future__ import annotations
@@ -32,7 +56,8 @@ from cat_tpu.envs.env import CatEnv
 from cat_tpu.envs.types import EnvState
 
 from . import networks
-from .normalize import RmsState, rms_init, rms_normalize, rms_update
+from .normalize import (RmsState, rms_init, rms_merge_moments, rms_moments,
+                        rms_normalize, rms_stats, rms_update)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,6 +145,53 @@ class PPO:
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.scale_by_adam(eps=1e-5),
         )
+        self._inv_dev = 1.0 / num_devices
+
+    def _boundary_merge(self, ax, obs_rms0, obs_rms_l, moms, rmax_l, scal,
+                        sum_scaled):
+        """The iteration's single fused cross-shard collective.
+
+        Sum-reduced payload (obs_rms moment DELTAS since iteration start,
+        value/return batch moments, episode metric accumulators) and the
+        max-reduced CaT running-max cross the wire as ONE psum of a
+        (num_devices, D) one-hot-row table; both reductions finish locally.
+        Exact: moment pooling is associative (normalize.rms_merge_moments),
+        so the merged obs_rms equals the per-step-psum result, and pmax of
+        per-shard polyak maxes re-replicates running_max each iteration.
+        """
+        s1_0, s2_0, n_0 = rms_stats(obs_rms0)
+        s1_l, s2_l, n_l = rms_stats(obs_rms_l)
+        (vs1, vs2, vn), (rs1, rs2, rn) = moms
+        sums = jnp.concatenate([
+            s1_l - s1_0, s2_l - s2_0, (n_l - n_0)[None],
+            jnp.stack([vs1, vs2, vn, rs1, rs2, rn]),
+            scal,
+        ])
+        row = jnp.concatenate([sums, rmax_l])
+        ndev = self.num_devices
+        table = jnp.zeros((ndev, row.shape[0]), row.dtype)
+        table = table.at[jax.lax.axis_index(ax)].set(row)
+        table = jax.lax.psum(table, ax)
+        m = sums.shape[0]
+        gsums = jnp.sum(table[:, :m], axis=0)
+        rmax_g = jnp.max(table[:, m:], axis=0)
+
+        k = s1_0.shape[0]
+        n_g = n_0 + gsums[2 * k]
+        mean_g = (s1_0 + gsums[:k]) / n_g
+        ex2_g = (s2_0 + gsums[k:2 * k]) / n_g
+        obs_rms_g = RmsState(
+            mean=mean_g,
+            var=jnp.maximum(ex2_g - jnp.square(mean_g), 0.0),
+            count=n_g,
+        )
+        vm = gsums[2 * k + 1:2 * k + 7]
+        scal_g = gsums[2 * k + 7:] * sum_scaled
+        return (
+            obs_rms_g,
+            ((vm[0], vm[1], vm[2]), (vm[3], vm[4], vm[5])),
+            rmax_g, scal_g,
+        )
 
     # ---------------- init ----------------
 
@@ -175,13 +247,17 @@ class PPO:
             lr = ts.lr
 
         # ---- rollout (HOT LOOP #1, cleanrl/ppo.py:201-230) ----
+        # Collective-free (discipline v2, module docstring): obs_rms and the
+        # CaT running-max update shard-LOCALLY over the 24 steps — each
+        # shard runs the reference's exact single-GPU semantics on its own
+        # envs — and re-sync exactly in _boundary_merge below.
         def rollout_step(carry, _):
             ts_obs, ts_done, ts_tdone, obs_rms, es, key = carry
             key, k_act = jax.random.split(key)
             mean, log_std, value = self.net.apply(ts.params, ts_obs)
             action, logp = networks.sample_action(mean, log_std, k_act)
             es2, next_obs_raw, reward, done, time_out = self.env.step(
-                es, action, axis_name=ax
+                es, action, axis_name=None
             )
             if cfg.value_bootstrap:
                 # rl_games timeout bootstrap (cat_common.py:62-67):
@@ -190,7 +266,7 @@ class PPO:
                 reward = reward + (
                     cfg.gamma * value * time_out.astype(reward.dtype)
                 )
-            obs_rms2 = rms_update(obs_rms, next_obs_raw, ax)
+            obs_rms2 = rms_update(obs_rms, next_obs_raw, None)
             next_obs = rms_normalize(obs_rms2, next_obs_raw)
             out = (ts_obs, action, logp, value, reward, ts_done, ts_tdone)
             return (
@@ -240,24 +316,51 @@ class PPO:
         b_returns = returns.reshape(nb)
         b_vals = b_values_t.reshape(nb)
 
-        value_rms = rms_update(ts.value_rms, b_vals, ax)
+        # ---- iteration-boundary cross-shard merge (ONE collective) ----
+        # Everything the shards must agree on before SGD crosses the wire
+        # here, fused: obs_rms moment deltas + value moments + episode
+        # metrics (sum-reduced) and the CaT running-max (max-reduced) ride
+        # one scatter-psum table (module docstring, discipline v2).
+        es, ep_metrics = self.env.drain_metrics(es)
+        ep_keys = sorted(ep_metrics)
+        mean_reward = jnp.mean(b_rewards)
+        mean_done = jnp.mean(b_dones)
+        v_mom = rms_moments(b_vals)
+        r_mom = rms_moments(b_returns)
+        if ax is not None:
+            obs_rms, (v_mom, r_mom), rmax, scal = self._boundary_merge(
+                ax, ts.obs_rms, obs_rms, (v_mom, r_mom),
+                es.running_max,
+                jnp.stack([ep_metrics[k] for k in ep_keys]
+                          + [mean_reward, mean_done]),
+                sum_scaled=jnp.array(
+                    [1.0 if k == "Episode/count" else self._inv_dev
+                     for k in ep_keys] + [self._inv_dev, self._inv_dev],
+                    dtype=jnp.float32),
+            )
+            es = es._replace(running_max=rmax)
+            ep_metrics = dict(zip(ep_keys, scal[:len(ep_keys)]))
+            mean_reward, mean_done = scal[len(ep_keys)], scal[len(ep_keys) + 1]
+
+        value_rms = rms_merge_moments(ts.value_rms, *v_mom)
         b_vals = rms_normalize(value_rms, b_vals)
-        value_rms = rms_update(value_rms, b_returns, ax)
+        value_rms = rms_merge_moments(value_rms, *r_mom)
         b_returns = rms_normalize(value_rms, b_returns)
 
         # ---- minibatch SGD (HOT LOOP #3, cleanrl/ppo.py:294-354) ----
         mb_size = cfg.minibatch_size // self.num_devices
         n_minibatches = nb // mb_size
 
-        def loss_fn(params, mb):
-            """Collective discipline (runs/scaling/PROJECTION.md): off-slice
-            the cost is latency x collective COUNT, so this body issues ONE
-            fused pmean (the adv-norm moments) instead of seven scalar
-            pmeans. Every other component reduces LOCALLY — valid because
-            shards are equal-sized and the gradient is pmean'd after
-            value_and_grad (local-mean loss + grad pmean == grad of the
-            global-mean loss); the scalar stats are pmean'd as one fused
-            vector in sgd_step."""
+        def loss_fn(params, mb, adv_mom):
+            """Collective discipline v2 (module docstring): the loss body
+            itself issues NO collectives. The adv-norm moments arrive
+            precomputed per epoch (advantages are fixed for the iteration,
+            so each minibatch's global moments are known at permutation
+            time — one fused (n_minibatches, 2) pmean per epoch in
+            epoch_step); every other component reduces LOCALLY — valid
+            because shards are equal-sized and the gradient is pmean'd
+            after value_and_grad (local-mean loss + grad pmean == grad of
+            the global-mean loss); the scalar stats ride the grad pmean."""
             obs, act, old_logp, adv, ret, old_val = mb
             mean, log_std, newvalue = self.net.apply(params, obs)
             newlogp = networks.gaussian_logp(mean, log_std, act)
@@ -266,13 +369,10 @@ class PPO:
             ratio = jnp.exp(logratio)
 
             if cfg.norm_adv:
-                # global moments via a single fused (2,) pmean:
-                # var = E[x^2] - E[x]^2 (shards are equal-sized)
-                mom = jnp.stack([jnp.mean(adv), jnp.mean(jnp.square(adv))])
-                if ax is not None:
-                    mom = jax.lax.pmean(mom, ax)
-                m = mom[0]
-                s = jnp.sqrt(jnp.maximum(mom[1] - jnp.square(mom[0]), 0.0))
+                m = adv_mom[0]
+                s = jnp.sqrt(
+                    jnp.maximum(adv_mom[1] - jnp.square(adv_mom[0]), 0.0)
+                )
                 adv = (adv - m) / (s + 1e-8)
 
             pg1 = -adv * ratio
@@ -298,7 +398,8 @@ class PPO:
             )
             return total, (pg_loss, v_loss, ent_loss, approx_kl, clipfrac)
 
-        def sgd_step(carry, mb_idx):
+        def sgd_step(carry, xs):
+            mb_idx, adv_mom = xs
             params, opt_state, lr, perm_data = carry
             mb = jax.tree.map(
                 lambda x: jax.lax.dynamic_slice_in_dim(
@@ -307,12 +408,14 @@ class PPO:
                 perm_data,
             )
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, mb
+                params, mb, adv_mom
             )
             if ax is not None:
-                grads = jax.lax.pmean(grads, ax)
-                # the 5 local scalar stats cross the wire as ONE collective
-                aux = tuple(jax.lax.pmean(jnp.stack(aux), ax))
+                # the 5 scalar stats ride the grad pmean as extra pytree
+                # leaves — XLA's all-reduce combiner lowers the whole thing
+                # to ONE collective
+                grads, aux_v = jax.lax.pmean((grads, jnp.stack(aux)), ax)
+                aux = tuple(aux_v)
                 loss = aux[0] - cfg.ent_coef * aux[2] + aux[1] * cfg.vf_coef
             updates, opt_state = self.tx.update(grads, opt_state, params)
             updates = jax.tree.map(lambda u: -lr * u, updates)
@@ -330,9 +433,19 @@ class PPO:
             perm = jax.random.permutation(k_epoch, nb)
             data = (b_obs, b_actions, b_logprobs, b_adv, b_returns, b_vals)
             perm_data = jax.tree.map(lambda x: x[perm], data)
+            # per-epoch adv-norm moments: one fused (n_minibatches, 2)
+            # pmean instead of one (2,) pmean per minibatch — exact, since
+            # the advantages don't change within the iteration
+            adv_mb = perm_data[3].reshape(n_minibatches, mb_size)
+            adv_moms = jnp.stack(
+                [jnp.mean(adv_mb, axis=1),
+                 jnp.mean(jnp.square(adv_mb), axis=1)], axis=1,
+            )
+            if ax is not None:
+                adv_moms = jax.lax.pmean(adv_moms, ax)
             (params, opt_state, lr, _), stats = jax.lax.scan(
                 sgd_step, (params, opt_state, lr, perm_data),
-                jnp.arange(n_minibatches),
+                (jnp.arange(n_minibatches), adv_moms),
             )
             if mode == "adaptive_kl_epoch":
                 # skrl: one step per epoch on the epoch-mean KL. Each
@@ -353,15 +466,8 @@ class PPO:
             jax.tree.map(jnp.mean, stats)
         )
 
-        es, ep_metrics = self.env.drain_metrics(es)
-        if ax is not None:
-            ep_metrics = {
-                k: (
-                    jax.lax.psum(v, ax) if k == "Episode/count"
-                    else jax.lax.pmean(v, ax)
-                )
-                for k, v in ep_metrics.items()
-            }
+        # episode metrics were drained + cross-shard merged in the boundary
+        # collective above (discipline v2)
         metrics = {
             "Loss/mean_surrogate_loss": loss,
             "Loss/mean_pg_loss": pg_loss,
@@ -369,8 +475,8 @@ class PPO:
             "Loss/mean_entropy_loss": ent_loss,
             "Loss/approx_kl": approx_kl,
             "Loss/clipfrac": clipfrac,
-            "Train/mean_reward_per_step": _mean(b_rewards.reshape(-1), ax),
-            "Train/mean_done": _mean(b_dones.reshape(-1), ax),
+            "Train/mean_reward_per_step": mean_reward,
+            "Train/mean_done": mean_done,
             **ep_metrics,
         }
 
@@ -404,8 +510,3 @@ def adaptive_kl_lr(lr, kl, kl_target: float, lr_min: float, lr_max: float):
     )
 
 
-def _mean(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
-    m = jnp.mean(x)
-    if axis_name is not None:
-        m = jax.lax.pmean(m, axis_name)
-    return m

@@ -194,6 +194,35 @@ def _substep_post_lanes(
     )
 
 
+def _solver_structure(model, sp: solver.SolverParams):
+    """Effective sweep structure for the lanes path.
+
+    The ``CAT_TPU_PGS_STRUCT`` env var (read at trace time) overrides the
+    SolverParams fields for bench A/Bs without touching configs:
+    ``bj:<n_blocks>[:<omega>[:<iterations>]]`` or ``gs``.
+    Returns (structure, contact_perm, blocks, omega, iterations).
+    """
+    import os as _os
+
+    s = _os.environ.get("CAT_TPU_PGS_STRUCT", "")
+    struct, nb, om, it = sp.structure, sp.bj_blocks, sp.omega, sp.iterations
+    if s:
+        parts = s.split(":")
+        struct = parts[0]
+        if len(parts) > 1:
+            nb = int(parts[1])
+        if len(parts) > 2:
+            om = float(parts[2])
+        if len(parts) > 3:
+            it = int(parts[3])
+    if struct == "bj":
+        from cat_tpu.ops import pgs_pallas
+
+        perm, blocks = pgs_pallas.plan_contact_blocks(model, nb)
+        return struct, perm, blocks, om, it
+    return struct, None, None, om, it
+
+
 def _substep_lanes(
     model: RobotModel, params: EngineParams, anc_mask: np.ndarray,
     terrain: Terrain, use_pallas: bool, sT, target_qT, mu,
@@ -207,6 +236,7 @@ def _substep_lanes(
     sp = params.solver
     bias = solver.contact_bias(phi, params.dt, sp)
     active = (phi < sp.margin).astype(jnp.float32)
+    struct, cperm, blocks, omega, iters = _solver_structure(model, sp)
     if use_pallas:
         import os as _os
 
@@ -222,6 +252,14 @@ def _substep_lanes(
                 A, b, bias, active, mu[None, :], sT.lam,
                 nc=model.ncand, iterations=sp.iterations, cfm=sp.cfm,
             )
+        elif struct == "bj":
+            lam_t = pgs_pallas.pgs_solve_lanes_bj(
+                E, W, b, bias, active, mu[None, :], sT.lam,
+                nc=model.ncand, nv=model.nv,
+                iterations=iters, cfm=sp.cfm, omega=omega,
+                contact_perm=cperm, blocks=blocks,
+                row_dofs=pgs_pallas.contact_row_dofs(model, anc_mask),
+            )
         else:
             lam_t = pgs_pallas.pgs_solve_lanes(
                 E, W, b, bias, active, mu[None, :], sT.lam,
@@ -229,6 +267,14 @@ def _substep_lanes(
                 iterations=sp.iterations, cfm=sp.cfm,
                 row_dofs=pgs_pallas.contact_row_dofs(model, anc_mask),
             )
+    elif struct == "bj":
+        from cat_tpu.ops import pgs_pallas
+
+        lam_t = pgs_pallas.pgs_lanes_xla_bj(
+            E, W, b, bias, active, mu, sT.lam,
+            nc=model.ncand, iterations=iters, cfm=sp.cfm, omega=omega,
+            contact_perm=cperm, blocks=blocks,
+        )
     else:
         lam_t = _pgs_lanes_xla(
             E, W, b, bias, active, mu, sT.lam,

@@ -52,6 +52,13 @@ class SolverParams(NamedTuple):
                                  # (odri.py:32 sets 100 — effectively off;
                                  # ours is tight to keep deep-spawn
                                  # penetrations from ballistic pop-out)
+    structure: str = "gs"        # sweep structure (lanes/Pallas path only):
+                                 # "gs" = serial Gauss-Seidel over contacts;
+                                 # "bj" = block-Jacobi (bj_blocks groups,
+                                 # Jacobi within, GS between — see
+                                 # ops/pgs_pallas.py round-5 notes)
+    bj_blocks: int = 1           # contact groups for structure="bj"
+    omega: float = 1.0           # under-relaxation for structure="bj"
 
 
 def contact_bias(phi, h: float, params: SolverParams):

@@ -66,6 +66,29 @@ def height_at(terrain: Terrain, xy: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
+# packed per-CELL corner table cache, keyed by Terrain identity (a strong
+# ref keeps the id stable; terrains are few and long-lived). The table is
+# ~4x the grid bytes (~8 MB at production size) — packing it once per
+# Terrain instead of at every traced call site keeps retraces cheap and
+# guarantees XLA constant dedup sees ONE buffer.
+_PACKED_CACHE: dict = {}
+
+
+def _packed_corners(terrain: Terrain) -> np.ndarray:
+    """(R-1)(C-1) x 4 per-cell corner table: the four bilinear corners of a
+    cell come back from ONE 4-wide gather instead of four scalar gathers —
+    TPU gather cost scales with index count, not slice width."""
+    ent = _PACKED_CACHE.get(id(terrain))
+    if ent is None or ent[0] is not terrain:
+        Hn = np.asarray(terrain.height)
+        packed = np.ascontiguousarray(np.stack(
+            [Hn[:-1, :-1], Hn[:-1, 1:], Hn[1:, :-1], Hn[1:, 1:]], axis=-1
+        ).reshape(-1, 4))
+        ent = (terrain, packed)
+        _PACKED_CACHE[id(terrain)] = ent
+    return ent[1]
+
+
 def height_grad_at(terrain: Terrain, xy: jnp.ndarray):
     """Bilinear height AND analytic in-cell gradient at world xy.
 
@@ -78,15 +101,7 @@ def height_grad_at(terrain: Terrain, xy: jnp.ndarray):
     observations/diagnostics.
     """
     R, C = terrain.height.shape
-    # packed per-CELL corner table (R-1, C-1, 4): the four bilinear corners
-    # of a cell come back from ONE 4-wide gather instead of four scalar
-    # gathers — TPU gather cost scales with index count, not slice width.
-    # terrain.height is host numpy, so this packs once at trace time.
-    Hn = np.asarray(terrain.height)
-    packed = np.stack(
-        [Hn[:-1, :-1], Hn[:-1, 1:], Hn[1:, :-1], Hn[1:, 1:]], axis=-1
-    ).reshape(-1, 4)
-    H4 = jnp.asarray(packed)
+    H4 = jnp.asarray(_packed_corners(terrain))
     u = xy[..., 0] / terrain.cell + R / 2.0 - 0.5
     v = xy[..., 1] / terrain.cell + C / 2.0 - 0.5
     u = jnp.clip(u, 0.0, R - 1.001)

@@ -162,3 +162,129 @@ def test_preassembled_kernel_matches_standard():
     np.testing.assert_allclose(
         np.asarray(lam_pre), np.asarray(lam_std), rtol=2e-5, atol=2e-6
     )
+
+
+def _lanes_problem(rng, nc=6, nv=10, N=40, warm=False):
+    """Stacked lanes-layout problem set (interleaved rows)."""
+    from cat_tpu.sim.solver import SolverParams
+
+    params = SolverParams(iterations=6)
+    h = 0.005
+    Es, Ws, bs, phis = [], [], [], []
+    mu = rng.uniform(0.4, 1.2, size=N).astype(np.float32)
+    for _ in range(N):
+        J, minvJt, A, b, phi, lam0 = _random_problem(rng, nc, nv)
+        Es.append(J); Ws.append(minvJt); bs.append(b); phis.append(phi)
+    phi_all = np.stack(phis)
+    bias = np.maximum(
+        (params.erp / h) * np.minimum(phi_all + params.slop, 0.0),
+        -params.max_depen_vel,
+    )
+    active = (phi_all < params.margin).astype(np.float32)
+    lam0 = (
+        rng.uniform(0.0, 0.1, size=(3 * nc, N)).astype(np.float32)
+        if warm else np.zeros((3 * nc, N), np.float32)
+    )
+    return (
+        jnp.asarray(np.stack(Es).transpose(1, 2, 0)),
+        jnp.asarray(np.stack(Ws).transpose(1, 2, 0)),
+        jnp.asarray(np.stack(bs).T),
+        jnp.asarray(bias.T),
+        jnp.asarray(active.T),
+        jnp.asarray(mu),
+        jnp.asarray(lam0),
+        params,
+    )
+
+
+@pytest.mark.slow
+def test_bj_singleton_blocks_equals_gs():
+    """blocks=((0,1),(1,1),...) with omega=1 is mathematically the serial
+    Gauss-Seidel sweep: the bj kernel must reproduce the GS kernel."""
+    from cat_tpu.ops import pgs_pallas
+
+    rng = np.random.default_rng(7)
+    nc, nv, N = 6, 10, 40
+    E_t, W_t, b_t, bias_t, act_t, mu, lam0_t, params = _lanes_problem(
+        rng, nc, nv, N, warm=True
+    )
+    lam_gs = pgs_pallas.pgs_solve_lanes(
+        E_t, W_t, b_t, bias_t, act_t, mu[None, :], lam0_t,
+        nc=nc, nv=nv, iterations=params.iterations, cfm=params.cfm,
+        interpret=True,
+    )
+    lam_bj = pgs_pallas.pgs_solve_lanes_bj(
+        E_t, W_t, b_t, bias_t, act_t, mu[None, :], lam0_t,
+        nc=nc, nv=nv, iterations=params.iterations, cfm=params.cfm,
+        omega=1.0, blocks=tuple((i, 1) for i in range(nc)),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lam_bj), np.asarray(lam_gs), rtol=2e-5, atol=2e-6
+    )
+
+
+@pytest.mark.slow
+def test_bj_kernel_matches_mirror():
+    """The bj Pallas kernel (interpret) and the pure-XLA mirror share the
+    _bj_sweeps core but assemble A differently — outputs must agree,
+    including with a nontrivial contact permutation."""
+    from cat_tpu.ops import pgs_pallas
+
+    rng = np.random.default_rng(8)
+    nc, nv, N = 6, 10, 40
+    E_t, W_t, b_t, bias_t, act_t, mu, lam0_t, params = _lanes_problem(
+        rng, nc, nv, N, warm=True
+    )
+    perm = (3, 0, 4, 1, 5, 2)
+    blocks = ((0, 3), (3, 3))
+    lam_k = pgs_pallas.pgs_solve_lanes_bj(
+        E_t, W_t, b_t, bias_t, act_t, mu[None, :], lam0_t,
+        nc=nc, nv=nv, iterations=8, cfm=params.cfm,
+        omega=0.8, contact_perm=perm, blocks=blocks, interpret=True,
+    )
+    lam_m = pgs_pallas.pgs_lanes_xla_bj(
+        E_t, W_t, b_t, bias_t, act_t, mu, lam0_t,
+        nc=nc, iterations=8, cfm=params.cfm,
+        omega=0.8, contact_perm=perm, blocks=blocks,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lam_k), np.asarray(lam_m), rtol=2e-5, atol=2e-6
+    )
+
+
+@pytest.mark.slow
+def test_bj_velocity_residual_comparable_to_gs():
+    """On random problems the friction NCP's impulse solution is not unique
+    (degenerate same-body contacts), so the meaningful convergence metric is
+    the VELOCITY-space residual: post-solve normal approach speed on active
+    contacts. Blocked-Jacobi must land in the same residual regime as the
+    shipped GS-5 budget. (Physical-problem scoring lives in
+    tools/pgs_structure_probe.py — this is the math sanity tier.)"""
+    from cat_tpu.ops import pgs_pallas
+
+    rng = np.random.default_rng(9)
+    nc, nv, N = 6, 10, 64
+    E_t, W_t, b_t, bias_t, act_t, mu, lam0_t, params = _lanes_problem(
+        rng, nc, nv, N
+    )
+    A = np.einsum("rkn,kcn->rcn", np.asarray(E_t), np.asarray(W_t))
+
+    def vn_viol(lam):
+        lam = np.asarray(lam)
+        w = np.einsum("rcn,cn->rn", A, lam)
+        vn = (w + np.asarray(b_t))[2::3] + np.asarray(bias_t)
+        return float((np.maximum(-vn, 0.0) * np.asarray(act_t)).max())
+
+    viol_gs = vn_viol(pgs_pallas.pgs_lanes_xla_bj(
+        E_t, W_t, b_t, bias_t, act_t, mu, lam0_t,
+        nc=nc, iterations=5, cfm=params.cfm,
+        omega=1.0, blocks=tuple((i, 1) for i in range(nc)),
+    ))
+    viol_bj = vn_viol(pgs_pallas.pgs_lanes_xla_bj(
+        E_t, W_t, b_t, bias_t, act_t, mu, lam0_t,
+        nc=nc, iterations=10, cfm=params.cfm,
+        omega=0.7, blocks=((0, 3), (3, 3)),
+    ))
+    # comparable residual: within 2x of GS-5 plus an absolute floor
+    assert viol_bj < 2.0 * viol_gs + 0.05, (viol_bj, viol_gs)

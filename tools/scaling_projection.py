@@ -51,27 +51,30 @@ LINKS = {
 }
 
 
-def count_collectives(env, ppo, cfg):
+def count_collectives(env, ppo, cfg, n_chips=2):
     """Enumerate the collectives ONE train iteration issues under sharding
-    (rl/ppo.py + envs/cat.py), with payload bytes per call."""
+    (rl/ppo.py discipline v2, module docstring), with payload bytes per
+    call. The boundary-merge table scales with the chip count (one-hot
+    scatter rows), so bytes are evaluated at ``n_chips``."""
     params = ppo.init_params_for_count
     p_bytes = sum(x.size * 4 for x in jax.tree.leaves(params))
     n_mb = cfg.updates_epochs * (
         cfg.num_steps * env.cfg.num_envs // cfg.minibatch_size
     )
+    mb_per_epoch = n_mb // cfg.updates_epochs
     obs_dim = env.num_obs
     kcols = env.cset.total_cols
+    # boundary table row: obs moment deltas (2*obs+1) + value/return
+    # moments (6) + episode metrics (~13 terms x2 + 6 scalars ~= 82) +
+    # running-max columns
+    boundary_row = (2 * obs_dim + 1) + 6 + 82 + kcols
     items = [
         # (name, calls/iter, bytes/call)
-        ("grad pmean (per minibatch)", n_mb, p_bytes),
-        ("adv-norm mean+std (per minibatch)", 2 * n_mb, 4),
-        ("loss stats pmean x5 (per minibatch)", 5 * n_mb, 4),
-        ("obs_rms moments psum (per rollout step)", cfg.num_steps,
-         (2 * obs_dim + 1) * 4),
-        ("constraint running-max pmax (per env step)", cfg.num_steps,
-         kcols * 4),
-        ("value_rms moments psum", 2, 12),
-        ("episode metrics pmean (per iteration)", 1, 80 * 4),
+        ("grad+stats fused pmean (per minibatch)", n_mb, p_bytes + 5 * 4),
+        ("adv-norm minibatch moments pmean (per epoch)", cfg.updates_epochs,
+         mb_per_epoch * 2 * 4),
+        ("iteration-boundary fused merge (scatter-psum)", 1,
+         n_chips * boundary_row * 4),
     ]
     return items, p_bytes, n_mb
 
@@ -122,7 +125,8 @@ def main():
     rows = []
     for link_name, link in LINKS.items():
         for n in (2, 4, 8, 16):
-            t_comm, eff = project(items, t_iter, link, n)
+            items_n, _, _ = count_collectives(env, ppo, cfg, n_chips=n)
+            t_comm, eff = project(items_n, t_iter, link, n)
             rows.append((link_name, n, t_comm, eff))
 
     out = {
@@ -147,7 +151,7 @@ def main():
     with open("runs/scaling/projection.json", "w") as f:
         json.dump(out, f, indent=1)
 
-    md = ["# Multi-chip weak-scaling projection (round 4)", ""]
+    md = ["# Multi-chip weak-scaling projection (round 5)", ""]
     md.append(
         f"Measured single-chip iteration: **{t_iter*1e3:.1f} ms** at "
         f"{num_envs} envs ({out['steps_per_sec_1chip']:.0f} env-steps/s). "
@@ -188,18 +192,17 @@ def main():
     eff2 = {l: [e for ll, n, t, e in rows if ll == l][0] for l in LINKS}
     md.append(
         f"**Conclusion.** Intra-slice (ICI) weak scaling is ~free "
-        f"({eff2['ICI (one v5e slice)']*100:.1f}% at 2 chips). The "
-        f"BASELINE >=80% two-host target holds at the NOMINAL DCN model "
-        f"({eff2['DCN (2+ hosts)']*100:.1f}% at 2 hosts) — but only "
-        f"marginally, and NOT under the pessimistic model "
-        f"({eff2['DCN pessimistic']*100:.1f}%): off-slice the cost is "
-        f"LATENCY x collective count, not bytes. The lever that moves the "
-        f"needle is reducing the sequential collective count: batch the 7 "
-        f"per-minibatch scalar pmeans into one fused reduction (210 calls "
-        f"-> 30) and fold the per-step rms/pmax pairs (48 -> 24); that "
-        f"cuts ~291 calls to ~87 and lifts the pessimistic-DCN projection "
-        f"to ~70%. The gradient payload itself (45 MB/iter) costs under "
-        f"8 ms even at 12 GB/s."
+        f"({eff2['ICI (one v5e slice)']*100:.1f}% at 2 chips). With the "
+        f"round-5 collective fold (discipline v2, rl/ppo.py docstring: "
+        f"zero rollout collectives, per-epoch adv-norm moments, stats "
+        f"fused into the grad pmean, one boundary merge) the iteration "
+        f"issues {total_calls} collectives, and the BASELINE >=80% "
+        f"two-host target now clears with margin under BOTH link models: "
+        f"{eff2['DCN (2+ hosts)']*100:.1f}% nominal-DCN and "
+        f"{eff2['DCN pessimistic']*100:.1f}% pessimistic-DCN at 2 hosts. "
+        f"The remaining cost is the irreducible gradient payload "
+        f"({p_bytes*n_mb/1e6:.0f} MB/iter across 30 sequential minibatch "
+        f"pmeans) plus 6 latency-bound calls."
     )
     md.append("")
     md.append(

@@ -64,7 +64,19 @@ def build_env(variant: str, num_envs: int, probe: bool = False):
     solver_iterations = None
     events = EventsCfg()
 
-    if variant == "tf_static":
+    if variant == "tf06":
+        # round-5 gait-purity x DR experiment (VERDICT r4 next-step #7):
+        # keep the FULL friction DR but anneal the two_foot style pressure
+        # to a 0.6 ceiling (vs the recipe's 0.25) — the r4 campaign showed
+        # max_p=1.0 static forces a 99.3% trot but only with the DR floor
+        # raised; this asks whether a stronger ANNEALED ceiling gets
+        # diagonal purity at speed under full mu U(0.5, 1.25).
+        terms = [t._replace(max_p=0.6) if t.name == "two_foot_contact"
+                 else t for t in terms]
+    elif variant == "tf04":
+        terms = [t._replace(max_p=0.4) if t.name == "two_foot_contact"
+                 else t for t in terms]
+    elif variant == "tf_static":
         terms = [t._replace(curriculum=False) if t.name == "two_foot_contact"
                  else t for t in terms]
     elif variant == "tf_hard":
@@ -208,11 +220,14 @@ def main():
     if os.path.exists(out_path):
         results = json.load(open(out_path)).get("variants", {})
     for v in variants:
-        print(f"=== variant {v} ({iters} iters, {num_envs} envs) ===",
-              flush=True)
-        env = build_env(v, num_envs)
-        ts, final = train(env, num_envs, iters)
-        gait = gait_probe(v, ts)
+        # "variant@seed" runs a seed replicate (VERDICT r4 next-step #4)
+        name, _, seed_s = v.partition("@")
+        seed = int(seed_s) if seed_s else 1
+        print(f"=== variant {name} seed {seed} ({iters} iters, "
+              f"{num_envs} envs) ===", flush=True)
+        env = build_env(name, num_envs)
+        ts, final = train(env, num_envs, iters, seed=seed)
+        gait = gait_probe(name, ts)
         results[v] = {"train_final": final, "gait_probe": gait}
         print(json.dumps(results[v], indent=1), flush=True)
         with open(out_path, "w") as f:
