@@ -396,9 +396,10 @@ def pgs_solve_lanes(
 # iterations, with 1-sublane-wide scalar math between every rank-3 FMA).
 # The block-Jacobi variant restructures the sweep:
 #
-#   * rows are reordered COMPONENT-MAJOR ([all t1 | all t2 | all n]) so the
-#     per-contact projection math runs on (g, TILE) 2D tiles — g contacts
-#     solved simultaneously at full sublane width instead of one at a time;
+#   * the per-contact projection math runs on (g, TILE) 2D tiles — g
+#     contacts solved simultaneously at full sublane width instead of one
+#     at a time (block rows stacked from the interleaved layout by STATIC
+#     addressing; operands and the assembled A keep their natural order);
 #   * contacts are partitioned into `blocks`; contacts within a block update
 #     Jacobi-style against the same accumulated velocity w (no intra-block
 #     dependency), blocks update Gauss-Seidel-style against each other;
@@ -415,55 +416,77 @@ def pgs_solve_lanes(
 def _bj_sweeps(
     getrow, getel, b, bias, active, mu, lam0, *,
     nc: int, iterations: int, cfm: float, omega: float, blocks: tuple,
+    cperm: tuple = None,
 ):
-    """Shared block-Jacobi PGS core (component-major layout).
+    """Shared block-Jacobi PGS core, INTERLEAVED operand order.
 
-    getrow(r) -> (3nc, B) row r of the Delassus A (cm row/col order);
-    getel(r, c) -> (B,) single element row. b (3nc,B) cm, bias/active
-    (nc,B), mu (B,), lam0 (3nc,B) cm. Returns lam (3nc,B) cm.
+    getrow(r) -> (3nc, B) row r of the Delassus A (interleaved t1,t2,n
+    per contact — the assembly's natural order); getel(r, c) -> (B,).
+    b/lam0 (3nc, B) interleaved, bias/active (nc, B) natural contact
+    order, mu (B,). cperm maps permuted position -> contact id; blocks
+    index PERMUTED positions. Returns lam (3nc, B) interleaved.
 
-    Runs unchanged inside the Pallas kernel (refs behind getrow) and as the
-    pure-XLA mirror (jnp array behind getrow) — one implementation to keep
-    in sync, not two.
+    All permutation happens through STATIC row addressing (python ints
+    at trace time) — no HBM-side gather/copy of E/W/b and no dynamic
+    vector ops: the first cut permuted the operands outside the kernel
+    (a full (3nc, nv, N) materialized copy of E and W per substep) and
+    used `.at[slice].set` for partial-block writebacks, which failed to
+    lower on real Mosaic (only g==nc variants compiled on-chip).
+
+    Runs unchanged inside the Pallas kernel (refs behind getrow) and as
+    the pure-XLA mirror (jnp array behind getrow) — one implementation
+    to keep in sync, not two.
     """
     n3 = 3 * nc
-    lt1 = lam0[0:nc] * active
-    lt2 = lam0[nc:2 * nc] * active
-    ln = lam0[2 * nc:n3] * active
+    if cperm is None:
+        cperm = tuple(range(nc))
+    ids = [int(c) for c in cperm]
+
+    act_rows = [active[i] for i in range(nc)]
+    lam = [lam0[r] * act_rows[r // 3] for r in range(n3)]
 
     # w = A @ lam with 4-way partial accumulation (independent FMA streams)
-    lam_rows = [lt1[i] for i in range(nc)] + [lt2[i] for i in range(nc)] \
-        + [ln[i] for i in range(nc)]
     accs = [None, None, None, None]
     for r in range(n3):
-        p = getrow(r) * lam_rows[r][None, :]
+        p = getrow(r) * lam[r][None, :]
         s = r % 4
         accs[s] = p if accs[s] is None else accs[s] + p
     w = (accs[0] + accs[1]) + (accs[2] + accs[3])
 
-    # per-contact diagonal/coupling stacks (nc, B), computed once
-    inv_dt1 = 1.0 / (jnp.stack([getel(i, i) for i in range(nc)]) + cfm)
+    # per-contact diagonal/coupling stacks (nc, B) in PERMUTED order
+    inv_dt1 = 1.0 / (jnp.stack([getel(3 * c, 3 * c) for c in ids]) + cfm)
     inv_dt2 = 1.0 / (
-        jnp.stack([getel(nc + i, nc + i) for i in range(nc)]) + cfm
+        jnp.stack([getel(3 * c + 1, 3 * c + 1) for c in ids]) + cfm
     )
     inv_dn = 1.0 / (
-        jnp.stack([getel(2 * nc + i, 2 * nc + i) for i in range(nc)]) + cfm
+        jnp.stack([getel(3 * c + 2, 3 * c + 2) for c in ids]) + cfm
     )
-    c_t1n = jnp.stack([getel(i, 2 * nc + i) for i in range(nc)])
-    c_t2n = jnp.stack([getel(nc + i, 2 * nc + i) for i in range(nc)])
+    c_t1n = jnp.stack([getel(3 * c, 3 * c + 2) for c in ids])
+    c_t2n = jnp.stack([getel(3 * c + 1, 3 * c + 2) for c in ids])
+    act_p = jnp.stack([active[c] for c in ids])
+    bias_p = jnp.stack([bias[c] for c in ids])
+    b_t1 = jnp.stack([b[3 * c] for c in ids])
+    b_t2 = jnp.stack([b[3 * c + 1] for c in ids])
+    b_n = jnp.stack([b[3 * c + 2] for c in ids])
+    lt1 = jnp.stack([lam[3 * c] for c in ids])
+    lt2 = jnp.stack([lam[3 * c + 1] for c in ids])
+    ln = jnp.stack([lam[3 * c + 2] for c in ids])
 
     for _ in range(iterations):
         for (i0, g) in blocks:
             sl = slice(i0, i0 + g)
-            act = active[sl]
+            bids = ids[i0:i0 + g]
+            # current w rows of the block: static sublane stacks
+            w_t1 = jnp.stack([w[3 * c] for c in bids])
+            w_t2 = jnp.stack([w[3 * c + 1] for c in bids])
+            w_n = jnp.stack([w[3 * c + 2] for c in bids])
+            act = act_p[sl]
             ln_b, lt1_b, lt2_b = ln[sl], lt1[sl], lt2[sl]
-            vn = w[2 * nc + i0:2 * nc + i0 + g] + b[2 * nc + i0:2 * nc + i0 + g] \
-                + bias[sl]
+            vn = w_n + b_n[sl] + bias_p[sl]
             ln_new = jnp.maximum(ln_b - omega * vn * inv_dn[sl], 0.0) * act
             dn = ln_new - ln_b
-            vt1 = w[i0:i0 + g] + b[i0:i0 + g] + c_t1n[sl] * dn
-            vt2 = w[nc + i0:nc + i0 + g] + b[nc + i0:nc + i0 + g] \
-                + c_t2n[sl] * dn
+            vt1 = w_t1 + b_t1[sl] + c_t1n[sl] * dn
+            vt2 = w_t2 + b_t2[sl] + c_t2n[sl] * dn
             lt1_c = lt1_b - omega * vt1 * inv_dt1[sl]
             lt2_c = lt2_b - omega * vt2 * inv_dt2[sl]
             tn = jnp.sqrt(lt1_c * lt1_c + lt2_c * lt2_c + 1e-12)
@@ -472,16 +495,18 @@ def _bj_sweeps(
             d1, d2 = n1 - lt1_b, n2 - lt2_b
 
             # w += A[:, block cols] @ deltas — 3g independent row FMAs,
-            # merged through 3 parallel partial accumulators
-            upds = []
-            for j in range(g):
-                upds.append(getrow(i0 + j) * d1[j][None, :])
-                upds.append(getrow(nc + i0 + j) * d2[j][None, :])
-                upds.append(getrow(2 * nc + i0 + j) * dn[j][None, :])
+            # merged through 3 parallel partial accumulators. Accumulate
+            # IN the loop (not via a list of products): materializing all
+            # 3g (n3, B) products first blew the Mosaic scoped-VMEM stack
+            # at g=nc (16.8 MB > 16 MB at tile 128).
             paccs = [None, None, None]
-            for s, p in enumerate(upds):
-                t = s % 3
-                paccs[t] = p if paccs[t] is None else paccs[t] + p
+            for j, c in enumerate(bids):
+                for t, p in enumerate((
+                    getrow(3 * c) * d1[j][None, :],
+                    getrow(3 * c + 1) * d2[j][None, :],
+                    getrow(3 * c + 2) * dn[j][None, :],
+                )):
+                    paccs[t] = p if paccs[t] is None else paccs[t] + p
             for p in paccs:
                 if p is not None:
                     w = w + p
@@ -489,22 +514,31 @@ def _bj_sweeps(
             if g == nc:
                 ln, lt1, lt2 = ln_new, n1, n2
             else:
-                ln = ln.at[sl].set(ln_new)
-                lt1 = lt1.at[sl].set(n1)
-                lt2 = lt2.at[sl].set(n2)
+                # static concatenation writeback (`.at[slice].set` does
+                # not lower on Mosaic for partial blocks)
+                ln = jnp.concatenate([ln[:i0], ln_new, ln[i0 + g:]], 0)
+                lt1 = jnp.concatenate([lt1[:i0], n1, lt1[i0 + g:]], 0)
+                lt2 = jnp.concatenate([lt2[:i0], n2, lt2[i0 + g:]], 0)
 
-    return jnp.concatenate([lt1, lt2, ln], axis=0)
+    # back to interleaved row order via static addressing
+    out = [None] * n3
+    for p, c in enumerate(ids):
+        out[3 * c] = lt1[p]
+        out[3 * c + 1] = lt2[p]
+        out[3 * c + 2] = ln[p]
+    return jnp.stack(out)
 
 
 def _pgs_kernel_bj(
     E_ref, W_ref, b_ref, bias_ref, active_ref, mu_ref, lam0_ref,
     lam_out_ref, A_scratch, *,
     nc: int, nv: int, iterations: int, cfm: float, omega: float,
-    blocks: tuple, row_dofs: tuple = None,
+    blocks: tuple, cperm: tuple = None, row_dofs: tuple = None,
 ):
-    """Block-Jacobi kernel: same fused in-VMEM assembly, restructured sweep.
-    All inputs already in component-major row order (see pgs_solve_lanes_bj).
-    """
+    """Block-Jacobi kernel: same fused in-VMEM assembly (natural
+    interleaved row order — identical to the GS kernel's), restructured
+    sweep. The contact permutation is static addressing inside
+    _bj_sweeps, so operands arrive untouched."""
     n3 = 3 * nc
     _assemble_A(E_ref, W_ref, A_scratch, n3, nv, row_dofs)
     lam = _bj_sweeps(
@@ -513,17 +547,10 @@ def _pgs_kernel_bj(
         b_ref[...], bias_ref[...], active_ref[...], mu_ref[0, :],
         lam0_ref[...],
         nc=nc, iterations=iterations, cfm=cfm, omega=omega, blocks=blocks,
+        cperm=cperm,
     )
     for r in range(n3):
         lam_out_ref[r, :] = lam[r]
-
-
-def cm_row_perm(nc: int, contact_perm) -> np.ndarray:
-    """Interleaved (t1,t2,n per contact) -> component-major row permutation,
-    composed with a contact reordering: perm[c*nc + i] = 3*contact_perm[i]+c.
-    """
-    cp = np.asarray(contact_perm, dtype=np.int64)
-    return np.concatenate([3 * cp + c for c in range(3)])
 
 
 def plan_contact_blocks(model, n_blocks: int):
@@ -576,9 +603,9 @@ def pgs_solve_lanes_bj(
 ) -> jnp.ndarray:
     """Block-Jacobi entry: interleaved in/out (drop-in for pgs_solve_lanes).
 
-    Permutes rows to component-major order outside the kernel (a static
-    gather XLA fuses into the operand producers), runs the bj kernel, and
-    permutes the impulses back.
+    Operands are passed through untouched — the contact permutation is
+    static row addressing inside the kernel (the first cut's HBM-side
+    permutation materialized full copies of E and W every substep).
     """
     N = E_t.shape[-1]
     n3 = 3 * nc
@@ -586,32 +613,22 @@ def pgs_solve_lanes_bj(
         contact_perm = tuple(range(nc))
     if blocks is None:
         blocks = ((0, nc),)
-    perm = cm_row_perm(nc, contact_perm)
-    inv = np.argsort(perm)
-    cperm = np.asarray(contact_perm, dtype=np.int64)
-
-    E_cm = E_t[perm]
-    W_cm = W_t[:, perm, :]
-    b_cm = b_t[perm]
-    lam_cm = lam0_t[perm]
-    bias_cm = bias_t[cperm]
-    act_cm = active_t[cperm]
-    rd_cm = None if row_dofs is None else tuple(row_dofs[p] for p in perm)
 
     tile = pick_tile(nc, nv)
     pad = (-N) % tile
     if pad:
         padw = [(0, 0), (0, 0), (0, pad)]
-        E_cm, W_cm = jnp.pad(E_cm, padw), jnp.pad(W_cm, padw)
+        E_t, W_t = jnp.pad(E_t, padw), jnp.pad(W_t, padw)
         pad2 = [(0, 0), (0, pad)]
-        b_cm, bias_cm = jnp.pad(b_cm, pad2), jnp.pad(bias_cm, pad2)
-        act_cm, mu_t = jnp.pad(act_cm, pad2), jnp.pad(mu_t, pad2)
-        lam_cm = jnp.pad(lam_cm, pad2)
+        b_t, bias_t = jnp.pad(b_t, pad2), jnp.pad(bias_t, pad2)
+        active_t, mu_t = jnp.pad(active_t, pad2), jnp.pad(mu_t, pad2)
+        lam0_t = jnp.pad(lam0_t, pad2)
     Np = N + pad
 
     kernel = functools.partial(
         _pgs_kernel_bj, nc=nc, nv=nv, iterations=iterations, cfm=cfm,
-        omega=omega, blocks=blocks, row_dofs=rd_cm,
+        omega=omega, blocks=blocks, cperm=tuple(contact_perm),
+        row_dofs=row_dofs,
     )
     lam_out = pl.pallas_call(
         kernel,
@@ -639,10 +656,9 @@ def pgs_solve_lanes_bj(
             pltpu.VMEM((n3, n3, tile), jnp.float32),
         ],
         interpret=interpret,
-    )(E_cm, W_cm, b_cm, bias_cm, act_cm, mu_t, lam_cm)
+    )(E_t, W_t, b_t, bias_t, active_t, mu_t, lam0_t)
 
-    lam_out = lam_out[:, :N] if pad else lam_out
-    return lam_out[inv]
+    return lam_out[:, :N] if pad else lam_out
 
 
 def pgs_lanes_xla_bj(
@@ -658,17 +674,12 @@ def pgs_lanes_xla_bj(
         contact_perm = tuple(range(nc))
     if blocks is None:
         blocks = ((0, nc),)
-    perm = cm_row_perm(nc, contact_perm)
-    inv = np.argsort(perm)
-    cperm = np.asarray(contact_perm, dtype=np.int64)
-
-    E_cm, W_cm = E_t[perm], W_t[:, perm, :]
     A = jnp.zeros((n3, n3) + E_t.shape[-1:])
     for k in range(nv):
-        A = A + E_cm[:, k, :][:, None, :] * W_cm[k, :, :][None, :, :]
-    lam = _bj_sweeps(
+        A = A + E_t[:, k, :][:, None, :] * W_t[k, :, :][None, :, :]
+    return _bj_sweeps(
         lambda r: A[r], lambda r, c: A[r, c],
-        b_t[perm], bias_t[cperm], active_t[cperm], mu, lam0_t[perm],
+        b_t, bias_t, active_t, mu, lam0_t,
         nc=nc, iterations=iterations, cfm=cfm, omega=omega, blocks=blocks,
+        cperm=tuple(contact_perm),
     )
-    return lam[inv]

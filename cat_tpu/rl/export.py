@@ -5,10 +5,14 @@ Artifacts:
   * ``policy_params.npz`` — pure-numpy parameter bundle (obs normalizer +
     MLP weights) with a documented layout, loadable anywhere.
   * ``policy.onnx`` — ONNX graph (obs_rms folded in, deterministic mean
-    action, like the reference's Agent.forward export) via torch, which is
-    baked into the image CPU-only. Skipped gracefully if torch is absent.
-  * ``policy.pt`` — TorchScript trace of the same module (reference
-    clean_rl/play.py:136-138 exports both formats).
+    action, like the reference's Agent.forward export) via the
+    torch.export-based ONNX exporter (the legacy TorchScript exporter is
+    deprecated as of torch 2.9). Skipped gracefully if torch or the onnx
+    toolchain is absent.
+  * ``policy.pt2`` — ``torch.export`` program of the same module (the
+    supported successor of TorchScript serialization).
+  * ``policy.pt`` — TorchScript trace kept for drop-in parity with the
+    reference's artifact (clean_rl/play.py:136-138 exports both formats).
 """
 
 from __future__ import annotations
@@ -113,16 +117,41 @@ def _export_torch(bundle: dict, n_layers: int, out_dir: str) -> None:
     model = Policy().eval()
     dummy = torch.zeros(1, bundle["obs_mean"].shape[0])
 
-    ts_path = os.path.join(out_dir, "policy.pt")
-    traced = torch.jit.trace(model, dummy)
-    traced.save(ts_path)
-    print(f"wrote {ts_path}")
+    # torch.export program: the supported serialization path (batch dim
+    # dynamic so deployment can run any env count)
+    try:
+        # batch>1 example input: size-1 dims specialize to constants
+        dummy2 = torch.zeros(2, bundle["obs_mean"].shape[0])
+        ep = torch.export.export(
+            model, (dummy2,), dynamic_shapes=({0: torch.export.Dim.AUTO},)
+        )
+        pt2_path = os.path.join(out_dir, "policy.pt2")
+        torch.export.save(ep, pt2_path)
+        print(f"wrote {pt2_path}")
+    except Exception as e:
+        print(f"torch.export save skipped: {e}")
+
+    # legacy-compat TorchScript artifact (the reference's .pt format)
+    try:
+        import warnings
+
+        ts_path = os.path.join(out_dir, "policy.pt")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            traced = torch.jit.trace(model, dummy)
+            traced.save(ts_path)
+        print(f"wrote {ts_path}")
+    except Exception as e:
+        print(f"TorchScript export skipped: {e}")
 
     try:
         path = os.path.join(out_dir, "policy.onnx")
+        # dynamo=True selects the torch.export-based ONNX exporter (the
+        # TorchScript-based one is deprecated); needs the onnxscript
+        # toolchain at runtime, absent here -> graceful skip.
         torch.onnx.export(
-            model, dummy, path, input_names=["obs"],
-            output_names=["action"], opset_version=16, dynamo=False,
+            model, (dummy,), path, input_names=["obs"],
+            output_names=["action"], opset_version=18, dynamo=True,
         )
         print(f"wrote {path}")
     except Exception as e:  # the `onnx` pip package is not in this image

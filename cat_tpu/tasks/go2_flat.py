@@ -14,7 +14,7 @@ import dataclasses
 from cat_tpu.envs import constraints as C
 from cat_tpu.envs.cat import ConstraintTerm
 from cat_tpu.envs.env import (
-    CatEnv, CommandsCfg, EnvCfg, NoiseCfg, resolve_names,
+    CatEnv, CommandsCfg, EnvCfg, NoiseCfg, TerminationsCfg, resolve_names,
 )
 from cat_tpu.models.go2 import (
     GO2_ACTUATED_JOINT_ORDER, GO2_KD, GO2_KP, go2_model,
@@ -87,6 +87,15 @@ def make_env(num_envs: int = 4096, play: bool = False,
         action_scale=0.25,
         commands=CommandsCfg(lin_vel_x=(-1.0, 1.0), lin_vel_y=(-0.7, 0.7),
                              ang_vel_z=(-1.0, 1.0)),
+        # Go2-appropriate kill: the Solo12 recipe's 0.1 (~5.7 deg) tilt
+        # terminated 65-80% of episodes for the whole r4 run
+        # (runs/go2_r4/NOTES.md) — this platform tracks commands well
+        # while rocking past 5.7 deg. 0.35 (~20 deg) keeps a true fall
+        # detector while base/thigh contact (the hard `contact`
+        # constraint + illegal-contact termination) does the real safety
+        # work — matching how Isaac Lab's Go2 recipes terminate on base
+        # contact, not tilt.
+        terminations=TerminationsCfg(upside_down_limit=0.35),
     )
     if play:
         cfg = dataclasses.replace(cfg, noise=NoiseCfg(enabled=False))

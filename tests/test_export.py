@@ -54,15 +54,29 @@ def test_npz_bundle_matches_jax_actor(tmp_path, shared):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_torchscript_matches_numpy(tmp_path):
+def test_torch_artifacts_match_numpy(tmp_path):
     torch = pytest.importorskip("torch")
+    import warnings
+
     ppo, ts, obs = _trained_bits()
     out = str(tmp_path / "export")
     export_policy(ppo, ts, out)
+    bundle = dict(np.load(os.path.join(out, "policy_params.npz")))
+    act_np = _numpy_actor(bundle, obs)
+    obs_t = torch.tensor(obs, dtype=torch.float32)
+
+    # torch.export program (the supported path, no deprecation warnings)
+    pt2 = os.path.join(out, "policy.pt2")
+    assert os.path.exists(pt2), "torch.export artifact missing"
+    ep = torch.export.load(pt2)
+    act_ep = ep.module()(obs_t).detach().numpy()
+    np.testing.assert_allclose(act_ep, act_np, rtol=1e-4, atol=1e-5)
+
+    # legacy-compat TorchScript artifact (reference .pt format parity)
     pt = os.path.join(out, "policy.pt")
     assert os.path.exists(pt), "TorchScript artifact missing"
-    mod = torch.jit.load(pt)
-    act_ts = mod(torch.tensor(obs, dtype=torch.float32)).detach().numpy()
-    bundle = dict(np.load(os.path.join(out, "policy_params.npz")))
-    np.testing.assert_allclose(act_ts, _numpy_actor(bundle, obs),
-                               rtol=1e-4, atol=1e-5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        mod = torch.jit.load(pt)
+    act_ts = mod(obs_t).detach().numpy()
+    np.testing.assert_allclose(act_ts, act_np, rtol=1e-4, atol=1e-5)
