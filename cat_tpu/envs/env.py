@@ -180,9 +180,14 @@ class EnvCfg:
     # PGS sweep count override (None = SolverParams default 5, the PhysX
     # 4+1 budget); exposed for solver-stiffness ablations
     solver_iterations: Optional[int] = None
-    # PGS sweep structure override: "gs" or "bj:<n_blocks>[:<omega>]"
+    # PGS sweep structure: "gs" or "bj:<n_blocks>[:<omega>[:<iters>]]"
     # (block-Jacobi, ops/pgs_pallas.py); None = SolverParams default
-    solver_structure: Optional[str] = None
+    # (serial GS). Default bj:4:0.9:6 from the round-5 sweep-structure
+    # A/B (runs/profile/perf_r5.md): +8% end-to-end over GS-5 on chip
+    # AND strictly better convergence on captured physical problems
+    # (pgs_structure_probe.json: imp_err .037 vs .052, worst residual
+    # .17 vs .30). Raw-engine users (SolverParams) keep GS-5.
+    solver_structure: Optional[str] = "bj:4:0.9:6"
     terrain: Terrain = terrain_mod.plane()
     height_scan: Optional[HeightScanCfg] = None
     terrain_curriculum: bool = False   # promote/demote difficulty rows
@@ -274,6 +279,10 @@ class CatEnv:
                 sp = sp._replace(bj_blocks=int(parts[1]))
             if len(parts) > 2:
                 sp = sp._replace(omega=float(parts[2]))
+            if len(parts) > 3 and cfg.solver_iterations is None:
+                # explicit solver_iterations (ablations) wins over the
+                # structure string's iteration count
+                sp = sp._replace(iterations=int(parts[3]))
             params = params._replace(solver=sp)
         self._engine_step = engine_mod.make_batched_step(
             model, params, num_envs=cfg.num_envs, terrain=cfg.terrain

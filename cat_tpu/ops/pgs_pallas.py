@@ -78,122 +78,6 @@ def contact_row_dofs(model, anc_mask) -> tuple:
     return tuple(rows)
 
 
-def _pgs_kernel_pre(
-    A_ref,        # (3nc, 3nc, TILE_N) — Delassus, assembled OUTSIDE
-    b_ref,        # (3nc, TILE_N)
-    bias_ref,     # (nc, TILE_N)
-    active_ref,   # (nc, TILE_N)
-    mu_ref,       # (1, TILE_N)
-    lam0_ref,     # (3nc, TILE_N)
-    lam_out_ref,  # (3nc, TILE_N)
-    *,
-    nc: int,
-    iterations: int,
-    cfm: float,
-):
-    """Sweep-only PGS kernel: A = E M^-1 E^T arrives pre-assembled (a
-    batched XLA matmul on the MXU), so the kernel is just the serial
-    Gauss-Seidel sweeps the MXU cannot do. Trades ~190 MB/substep of HBM
-    A-traffic at N=4096 for removing ~60% of the kernel's serial VPU work;
-    measured A/B in perf_r4.md decides which path ships (bench.py only —
-    stage timings lie on this rig)."""
-    n3 = 3 * nc
-    tile_n = A_ref.shape[-1]
-    mu = mu_ref[0, :]
-    act = [active_ref[i, :] for i in range(nc)]
-    bias = [bias_ref[i, :] for i in range(nc)]
-    brow = [b_ref[r, :] for r in range(n3)]
-    lam = [lam0_ref[3 * i + c, :] * act[i] for i in range(nc) for c in range(3)]
-
-    w = jnp.zeros((n3, tile_n), dtype=jnp.float32)
-    for r in range(n3):
-        w = w + A_ref[r] * lam[r][None, :]
-    inv_d = [1.0 / (A_ref[r, r, :] + cfm) for r in range(n3)]
-
-    for _ in range(iterations):
-        for i in range(nc):
-            k = 3 * i
-            v0 = w[k, :] + brow[k]
-            v1 = w[k + 1, :] + brow[k + 1]
-            v2 = w[k + 2, :] + brow[k + 2]
-            l0, l1, l2 = lam[k], lam[k + 1], lam[k + 2]
-            ln_new = jnp.maximum(l2 - (v2 + bias[i]) * inv_d[k + 2], 0.0)
-            ln_new = ln_new * act[i]
-            dn = ln_new - l2
-            vt1 = v0 + A_ref[k, k + 2, :] * dn
-            vt2 = v1 + A_ref[k + 1, k + 2, :] * dn
-            lt1 = l0 - vt1 * inv_d[k]
-            lt2 = l1 - vt2 * inv_d[k + 1]
-            tn = jnp.sqrt(lt1 * lt1 + lt2 * lt2 + 1e-12)
-            scale = jnp.minimum(1.0, mu * ln_new / tn) * act[i]
-            n0, n1, n2 = lt1 * scale, lt2 * scale, ln_new
-            d0, d1, d2 = n0 - l0, n1 - l1, n2 - l2
-            w = (
-                w
-                + A_ref[k] * d0[None, :]
-                + A_ref[k + 1] * d1[None, :]
-                + A_ref[k + 2] * d2[None, :]
-            )
-            lam[k], lam[k + 1], lam[k + 2] = n0, n1, n2
-
-    for r in range(n3):
-        lam_out_ref[r, :] = lam[r]
-
-
-def pgs_solve_lanes_pre(
-    A_t: jnp.ndarray,      # (3nc, 3nc, N) — pre-assembled Delassus
-    b_t: jnp.ndarray,
-    bias_t: jnp.ndarray,
-    active_t: jnp.ndarray,
-    mu_t: jnp.ndarray,
-    lam0_t: jnp.ndarray,
-    *,
-    nc: int, iterations: int = 8, cfm: float = 1e-4,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Sweep-only entry (A assembled by XLA on the MXU). Returns (3nc, N)."""
-    N = A_t.shape[-1]
-    n3 = 3 * nc
-    # VMEM: the A block double-buffered dominates; tile 64 fits nc=36
-    tile = 128
-    while tile > 32 and 2 * n3 * n3 * tile * 4 > _VMEM_BUDGET:
-        tile //= 2
-    pad = (-N) % tile
-    if pad:
-        A_t = jnp.pad(A_t, [(0, 0), (0, 0), (0, pad)])
-        pad2 = [(0, 0), (0, pad)]
-        b_t, bias_t = jnp.pad(b_t, pad2), jnp.pad(bias_t, pad2)
-        active_t, mu_t = jnp.pad(active_t, pad2), jnp.pad(mu_t, pad2)
-        lam0_t = jnp.pad(lam0_t, pad2)
-    Np = N + pad
-    kernel = functools.partial(
-        _pgs_kernel_pre, nc=nc, iterations=iterations, cfm=cfm,
-    )
-    lam_t = pl.pallas_call(
-        kernel,
-        grid=(Np // tile,),
-        in_specs=[
-            pl.BlockSpec((n3, n3, tile), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n3, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n3, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((n3, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n3, Np), jnp.float32),
-        interpret=interpret,
-    )(A_t, b_t, bias_t, active_t, mu_t, lam0_t)
-    return lam_t[:, :N] if pad else lam_t
-
-
 def _assemble_A(E_ref, W_ref, A_out, n3: int, nv: int, row_dofs: tuple):
     """A[i, j, n] = sum_k E[i, k, n] * W[k, j, n]  (envs on lanes).
 
@@ -468,20 +352,27 @@ def _bj_sweeps(
     b_t1 = jnp.stack([b[3 * c] for c in ids])
     b_t2 = jnp.stack([b[3 * c + 1] for c in ids])
     b_n = jnp.stack([b[3 * c + 2] for c in ids])
-    lt1 = jnp.stack([lam[3 * c] for c in ids])
-    lt2 = jnp.stack([lam[3 * c + 1] for c in ids])
-    ln = jnp.stack([lam[3 * c + 2] for c in ids])
+    # lam components live as PYTHON LISTS of (B,) rows in permuted
+    # position order; block writebacks are list surgery at trace time
+    # (`.at[slice].set` does not lower on Mosaic for partial blocks, and
+    # jnp.concatenate writebacks tripped a jax lowering-cache KeyError
+    # on the full train program)
+    lt1 = [lam[3 * c] for c in ids]
+    lt2 = [lam[3 * c + 1] for c in ids]
+    ln = [lam[3 * c + 2] for c in ids]
 
     for _ in range(iterations):
         for (i0, g) in blocks:
             sl = slice(i0, i0 + g)
             bids = ids[i0:i0 + g]
-            # current w rows of the block: static sublane stacks
+            # current w/lam rows of the block: static sublane stacks
             w_t1 = jnp.stack([w[3 * c] for c in bids])
             w_t2 = jnp.stack([w[3 * c + 1] for c in bids])
             w_n = jnp.stack([w[3 * c + 2] for c in bids])
             act = act_p[sl]
-            ln_b, lt1_b, lt2_b = ln[sl], lt1[sl], lt2[sl]
+            ln_b = jnp.stack(ln[i0:i0 + g])
+            lt1_b = jnp.stack(lt1[i0:i0 + g])
+            lt2_b = jnp.stack(lt2[i0:i0 + g])
             vn = w_n + b_n[sl] + bias_p[sl]
             ln_new = jnp.maximum(ln_b - omega * vn * inv_dn[sl], 0.0) * act
             dn = ln_new - ln_b
@@ -511,14 +402,10 @@ def _bj_sweeps(
                 if p is not None:
                     w = w + p
 
-            if g == nc:
-                ln, lt1, lt2 = ln_new, n1, n2
-            else:
-                # static concatenation writeback (`.at[slice].set` does
-                # not lower on Mosaic for partial blocks)
-                ln = jnp.concatenate([ln[:i0], ln_new, ln[i0 + g:]], 0)
-                lt1 = jnp.concatenate([lt1[:i0], n1, lt1[i0 + g:]], 0)
-                lt2 = jnp.concatenate([lt2[:i0], n2, lt2[i0 + g:]], 0)
+            for j in range(g):
+                lt1[i0 + j] = n1[j]
+                lt2[i0 + j] = n2[j]
+                ln[i0 + j] = ln_new[j]
 
     # back to interleaved row order via static addressing
     out = [None] * n3

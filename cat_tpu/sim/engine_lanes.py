@@ -238,21 +238,9 @@ def _substep_lanes(
     active = (phi < sp.margin).astype(jnp.float32)
     struct, cperm, blocks, omega, iters = _solver_structure(model, sp)
     if use_pallas:
-        import os as _os
-
         from cat_tpu.ops import pgs_pallas
 
-        if _os.environ.get("CAT_TPU_PGS_PREASSEMBLE"):
-            # A/B variant (perf_r4.md): assemble A = E W as a batched XLA
-            # matmul (MXU) and run the sweep-only kernel. Costs one
-            # (3nc)^2 x N HBM round trip, removes the kernel's serial
-            # VPU assembly.
-            A = jnp.einsum("rkn,kcn->rcn", E, W)
-            lam_t = pgs_pallas.pgs_solve_lanes_pre(
-                A, b, bias, active, mu[None, :], sT.lam,
-                nc=model.ncand, iterations=sp.iterations, cfm=sp.cfm,
-            )
-        elif struct == "bj":
+        if struct == "bj":
             lam_t = pgs_pallas.pgs_solve_lanes_bj(
                 E, W, b, bias, active, mu[None, :], sT.lam,
                 nc=model.ncand, nv=model.nv,

@@ -115,55 +115,6 @@ def test_row_dofs_sparse_assembly_matches_dense():
     np.testing.assert_allclose(run(row_dofs), run(None), rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.slow
-def test_preassembled_kernel_matches_standard():
-    """The sweep-only kernel (A assembled outside on the MXU,
-    pgs_solve_lanes_pre) must produce the same impulses as the fused
-    assembly kernel for identical problems."""
-    import jax
-
-    from cat_tpu.ops import pgs_pallas
-
-    rng = np.random.default_rng(3)
-    nc, nv = 4, 6
-    N = 40  # off-tile on purpose (exercises padding)
-    params = SolverParams(iterations=6)
-    h = 0.005
-
-    Es, Ws, bs, phis = [], [], [], []
-    mu = rng.uniform(0.4, 1.2, size=N).astype(np.float32)
-    for i in range(N):
-        J, minvJt, A, b, phi, lam0 = _random_problem(rng, nc, nv)
-        Es.append(J); Ws.append(minvJt); bs.append(b); phis.append(phi)
-
-    phi_all = np.stack(phis)
-    bias = (params.erp / h) * np.minimum(phi_all + params.slop, 0.0)
-    active = (phi_all < params.margin).astype(np.float32)
-
-    E_t = jnp.asarray(np.stack(Es).transpose(1, 2, 0))     # (3nc, nv, N)
-    W_t = jnp.asarray(np.stack(Ws).transpose(1, 2, 0))     # (nv, 3nc, N)
-    b_t = jnp.asarray(np.stack(bs).T)
-    bias_t = jnp.asarray(bias.T)
-    active_t = jnp.asarray(active.T)
-    mu_t = jnp.asarray(mu[None, :])
-    lam0_t = jnp.zeros((3 * nc, N), jnp.float32)
-
-    lam_std = pgs_pallas.pgs_solve_lanes(
-        E_t, W_t, b_t, bias_t, active_t, mu_t, lam0_t,
-        nc=nc, nv=nv, iterations=params.iterations, cfm=params.cfm,
-        interpret=True,
-    )
-    A_t = jnp.einsum("rkn,kcn->rcn", E_t, W_t)
-    lam_pre = pgs_pallas.pgs_solve_lanes_pre(
-        A_t, b_t, bias_t, active_t, mu_t, lam0_t,
-        nc=nc, iterations=params.iterations, cfm=params.cfm,
-        interpret=True,
-    )
-    np.testing.assert_allclose(
-        np.asarray(lam_pre), np.asarray(lam_std), rtol=2e-5, atol=2e-6
-    )
-
-
 def _lanes_problem(rng, nc=6, nv=10, N=40, warm=False):
     """Stacked lanes-layout problem set (interleaved rows)."""
     from cat_tpu.sim.solver import SolverParams
