@@ -54,6 +54,12 @@ WINDOW = 30             # final averaging window (iterations)
 # a 1.5 pp mean / 6 pp pointwise band on 51-iter-smoothed curves is a
 # real constraint, not decoration.
 EP_LEN_REL_TOL = 0.20
+# Absolute floor for the ep_len band: the relative band alone assumed the
+# iter-1000 scale (median ~430); the full 2000-iter recipe's post-anneal
+# decline compresses ep_len to ~230-340, where the SAME +-60-step
+# absolute spread reads as >20% relative. A backend is out of family only
+# if it misses the median by both >20% AND >75 steps.
+EP_LEN_ABS_TOL = 75.0
 SMOOTH = 51             # centered moving-average window (iterations)
 CURVE_MAD_PP = 1.5      # mean |dev from median curve|, last 75% of run
 CURVE_MAX_PP = 6.0      # pointwise max deviation, last 75% of run
@@ -162,13 +168,15 @@ def main():
         ep_med = float(np.median(
             [summary[b]["ep_len_final"] for b in BACKENDS]))
         for b in BACKENDS:
-            rel = abs(summary[b]["ep_len_final"] - ep_med) / max(ep_med, 1e-9)
+            dev = abs(summary[b]["ep_len_final"] - ep_med)
+            rel = dev / max(ep_med, 1e-9)
             summary[b]["ep_len_rel_to_median"] = rel
-            if rel > EP_LEN_REL_TOL:
+            if rel > EP_LEN_REL_TOL and dev > EP_LEN_ABS_TOL:
                 failures.append(
                     f"{b}: final ep_len {summary[b]['ep_len_final']:.0f} "
-                    f"deviates {rel:.0%} from median {ep_med:.0f} "
-                    f"(> {EP_LEN_REL_TOL:.0%})")
+                    f"deviates {rel:.0%}/{dev:.0f} steps from median "
+                    f"{ep_med:.0f} (> {EP_LEN_REL_TOL:.0%} and "
+                    f"> {EP_LEN_ABS_TOL:.0f})")
 
         def smooth(x):
             k = np.ones(SMOOTH) / SMOOTH
@@ -200,6 +208,7 @@ def main():
         "window": WINDOW, "rel_tol": REL_TOL,
         "curve_gates": {
             "active": curve_gates_on, "ep_len_rel_tol": EP_LEN_REL_TOL,
+            "ep_len_abs_tol": EP_LEN_ABS_TOL,
             "smooth_iters": SMOOTH, "curve_mad_pp": CURVE_MAD_PP,
             "curve_max_pp": CURVE_MAX_PP,
         },
